@@ -1,0 +1,131 @@
+"""Bilinear / trilinear interpolation (``grid_sample`` equivalents) in pure XLA.
+
+The reference leans on PyTorch ``F.grid_sample`` (cuDNN) and on the
+``cuda_gridsample_grad2`` CUDA extension for second-order gradients
+(reference ``bev_nerf.py:109``, losses, ``docs/installation.md`` step d).
+On TPU neither is needed: these are plain gathers + lerps that XLA fuses, and
+JAX autodiff is natively infinite-order through them — the eikonal and
+second-gradient losses differentiate through :func:`trilinear_sample` for free.
+
+Conventions match ``F.grid_sample(..., align_corners=True)`` but the public
+API takes **fractional indices** (0 .. size-1) rather than [-1, 1] normalized
+coords, avoiding the reference's normalize→denormalize round trip
+(``bev_nerf.py:102-113``).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_weights_1d(coord):
+    """Split fractional index into floor/ceil corner indices and lerp weight."""
+    c0 = jnp.floor(coord)
+    w1 = coord - c0
+    i0 = c0.astype(jnp.int32)
+    i1 = i0 + 1
+    return (i0, i1), w1
+
+
+def _corner_mask(idx, size):
+    return (idx >= 0) & (idx <= size - 1)
+
+
+def bilinear_sample(img, xy, padding: str = "zeros"):
+    """Sample a (H, W, C) image at fractional pixel coords.
+
+    Args:
+      img: (H, W, C).
+      xy: (..., 2) fractional (x, y) pixel indices, align_corners=True
+        convention (0 .. W-1 / 0 .. H-1).
+      padding: 'zeros' (out-of-range contributes 0, as grid_sample default) or
+        'border' (clamp, as the reprojection loss uses,
+        ``reproj_loss_mono_multi_new_combine.py:147-152``).
+
+    Returns:
+      (..., C) samples. Differentiable to all orders w.r.t. ``xy``.
+    """
+    H, W = img.shape[0], img.shape[1]
+    x, y = xy[..., 0], xy[..., 1]
+    if padding == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+
+    (x0, x1), wx = _gather_weights_1d(x)
+    (y0, y1), wy = _gather_weights_1d(y)
+
+    out = None
+    for yi, wyi in ((y0, 1.0 - wy), (y1, wy)):
+        for xi, wxi in ((x0, 1.0 - wx), (x1, wx)):
+            if padding == "zeros":
+                valid = _corner_mask(xi, W) & _corner_mask(yi, H)
+                w = wyi * wxi * valid
+            else:
+                w = wyi * wxi
+            xc = jnp.clip(xi, 0, W - 1)
+            yc = jnp.clip(yi, 0, H - 1)
+            val = img[yc, xc]  # (..., C)
+            term = w[..., None] * val
+            out = term if out is None else out + term
+    return out
+
+
+def trilinear_sample(vol, hwd, padding: str = "zeros"):
+    """Sample a (H, W, D, C) volume at fractional (h, w, d) indices.
+
+    Equivalent to ``F.grid_sample(volume, grid, align_corners=True)`` on a 5D
+    tensor (reference ``bev_nerf.py:109-113`` — note the reference permutes its
+    grid to (d, w, h) to match torch's (x, y, z); here we index (h, w, d)
+    directly).
+
+    Args:
+      vol: (H, W, D, C).
+      hwd: (..., 3) fractional indices.
+      padding: 'zeros' or 'border'.
+    Returns:
+      (..., C); differentiable to all orders w.r.t. ``hwd``.
+    """
+    H, W, D = vol.shape[0], vol.shape[1], vol.shape[2]
+    h, w, d = hwd[..., 0], hwd[..., 1], hwd[..., 2]
+    if padding == "border":
+        h = jnp.clip(h, 0.0, H - 1.0)
+        w = jnp.clip(w, 0.0, W - 1.0)
+        d = jnp.clip(d, 0.0, D - 1.0)
+
+    (h0, h1), wh = _gather_weights_1d(h)
+    (w0, w1), ww = _gather_weights_1d(w)
+    (d0, d1), wd = _gather_weights_1d(d)
+
+    out = None
+    for hi, whi in ((h0, 1.0 - wh), (h1, wh)):
+        for wi, wwi in ((w0, 1.0 - ww), (w1, ww)):
+            for di, wdi in ((d0, 1.0 - wd), (d1, wd)):
+                if padding == "zeros":
+                    valid = (_corner_mask(hi, H) & _corner_mask(wi, W)
+                             & _corner_mask(di, D))
+                    wgt = whi * wwi * wdi * valid
+                else:
+                    wgt = whi * wwi * wdi
+                hc = jnp.clip(hi, 0, H - 1)
+                wc = jnp.clip(wi, 0, W - 1)
+                dc = jnp.clip(di, 0, D - 1)
+                val = vol[hc, wc, dc]
+                term = wgt[..., None] * val
+                out = term if out is None else out + term
+    return out
+
+
+def grid_sample_2d(imgs, xy_norm, padding: str = "zeros"):
+    """Batched drop-in for torch ``F.grid_sample`` on 2D with align_corners=True.
+
+    Args:
+      imgs: (B, H, W, C) channel-last images.
+      xy_norm: (B, ..., 2) coords in [-1, 1] ((x, y) order, torch convention).
+      padding: 'zeros' or 'border'.
+    Returns: (B, ..., C).
+    """
+    H, W = imgs.shape[1], imgs.shape[2]
+    x = (xy_norm[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (xy_norm[..., 1] + 1.0) * 0.5 * (H - 1)
+    xy = jnp.stack([x, y], axis=-1)
+    return jax.vmap(lambda im, c: bilinear_sample(im, c, padding))(imgs, xy)

@@ -1,0 +1,99 @@
+"""Multi-scale deformable attention (MSDeformAttn) core op — pure XLA version.
+
+This replaces the mmcv CUDA kernel ``MultiScaleDeformableAttnFunction``
+(reference ``model/encoder/bevformer/attention/image_cross_attention.py:340-342``
+and ``cross_view_hybrid_attention.py:111-113``): for every query, K sampling
+points per head per level are bilinearly gathered from a flattened feature
+pyramid and reduced with softmax attention weights.
+
+Semantics match mmcv's PyTorch fallback ``multi_scale_deformable_attn_pytorch``
+(the only in-repo golden reference, per SURVEY §4): ``grid_sample`` with
+``align_corners=False`` and zero padding, i.e. fractional pixel index
+``loc * size - 0.5``.
+
+TPU notes:
+  * ``spatial_shapes`` must be **static** Python ints — levels are unrolled at
+    trace time (4 levels in all shipped configs), keeping shapes static.
+  * ``query_chunk`` bounds transient memory: the gather materializes
+    (B, Qc, H, P, D) per level instead of the full query set. A fused Pallas
+    kernel with the same signature lives in ``msda_pallas.py``.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .interp import bilinear_sample
+
+
+def _msda_dense(value_levels, sampling_locations, attention_weights,
+                spatial_shapes):
+    """Unchunked core. value_levels: list of (B, H, h, w, D)."""
+    B, Q, H, Lv, P, _ = sampling_locations.shape
+    D = value_levels[0].shape[-1]
+
+    out = jnp.zeros((B, Q, H, D), dtype=value_levels[0].dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_levels[lvl].reshape(B * H, h, w, D)
+        loc = sampling_locations[:, :, :, lvl]            # B,Q,H,P,2
+        xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
+        xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
+        samp = jax.vmap(lambda im, c: bilinear_sample(im, c, "zeros"))(v, xy)
+        samp = jnp.moveaxis(samp.reshape(B, H, Q, P, D), 1, 2)  # B,Q,H,P,D
+        w_l = attention_weights[:, :, :, lvl]             # B,Q,H,P
+        out = out + jnp.einsum('bqhpd,bqhp->bqhd', samp, w_l)
+    return out
+
+
+def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
+                   query_chunk: int = 0):
+    """Multi-scale deformable attention.
+
+    Args:
+      value: (B, L, H, D) flattened multi-level features,
+        L = sum(h*w for h, w in spatial_shapes).
+      spatial_shapes: static sequence of (h, w) ints per level.
+      sampling_locations: (B, Q, H, Lv, P, 2), normalized [0, 1] (x, y).
+      attention_weights: (B, Q, H, Lv, P), already softmaxed over Lv*P.
+      query_chunk: if > 0, process queries in chunks of this size to bound
+        transient memory (padded to a multiple; zero-cost for the padding).
+
+    Returns:
+      (B, Q, H * D).
+    """
+    spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
+    B, L, H, D = value.shape
+    Q = sampling_locations.shape[1]
+    assert L == sum(h * w for h, w in spatial_shapes), \
+        f"L={L} vs shapes {spatial_shapes}"
+
+    # split the flattened pyramid once (static level boundaries)
+    value_levels = []
+    start = 0
+    for h, w in spatial_shapes:
+        value_levels.append(
+            jnp.moveaxis(value[:, start:start + h * w], 2, 1)
+            .reshape(B, H, h, w, D))
+        start += h * w
+
+    if query_chunk <= 0 or query_chunk >= Q:
+        out = _msda_dense(value_levels, sampling_locations, attention_weights,
+                          spatial_shapes)
+        return out.reshape(B, Q, H * D)
+
+    pad = (-Q) % query_chunk
+    loc = jnp.pad(sampling_locations, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0), (0, 0)))
+    att = jnp.pad(attention_weights, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+    n_chunks = (Q + pad) // query_chunk
+    loc = loc.reshape(B, n_chunks, query_chunk, *loc.shape[2:]).swapaxes(0, 1)
+    att = att.reshape(B, n_chunks, query_chunk, *att.shape[2:]).swapaxes(0, 1)
+
+    def body(args):
+        loc_c, att_c = args
+        return _msda_dense(value_levels, loc_c, att_c, spatial_shapes)
+
+    out = jax.lax.map(body, (loc, att))                  # n_chunks,B,Qc,H,D
+    out = out.swapaxes(0, 1).reshape(B, Q + pad, H, D)[:, :Q]
+    return out.reshape(B, Q, H * D)

@@ -1,0 +1,97 @@
+"""Interpolation + SSIM golden tests against PyTorch CPU (the reference's
+numerical backend for ``F.grid_sample`` and the monodepth2 SSIM)."""
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from selfocc_tpu.ops.interp import bilinear_sample, trilinear_sample, grid_sample_2d
+from selfocc_tpu.ops.ssim import ssim
+
+
+def test_bilinear_vs_torch_zeros():
+    rng = np.random.RandomState(0)
+    img = rng.randn(7, 9, 3).astype(np.float32)
+    # sample points incl. out-of-range
+    xy = rng.uniform(-2, 10, size=(50, 2)).astype(np.float32)
+    out = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(xy), "zeros"))
+
+    t_img = torch.from_numpy(img).permute(2, 0, 1)[None]          # 1,C,H,W
+    gx = torch.from_numpy(xy[:, 0]) / (9 - 1) * 2 - 1
+    gy = torch.from_numpy(xy[:, 1]) / (7 - 1) * 2 - 1
+    grid = torch.stack([gx, gy], dim=-1)[None, None]              # 1,1,R,2
+    ref = F.grid_sample(t_img, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)[0, :, 0].T.numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_bilinear_vs_torch_border():
+    rng = np.random.RandomState(1)
+    img = rng.randn(5, 6, 2).astype(np.float32)
+    xy = rng.uniform(-3, 9, size=(40, 2)).astype(np.float32)
+    out = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(xy), "border"))
+    t_img = torch.from_numpy(img).permute(2, 0, 1)[None]
+    gx = torch.from_numpy(xy[:, 0]) / (6 - 1) * 2 - 1
+    gy = torch.from_numpy(xy[:, 1]) / (5 - 1) * 2 - 1
+    grid = torch.stack([gx, gy], dim=-1)[None, None]
+    ref = F.grid_sample(t_img, grid, mode="bilinear", padding_mode="border",
+                        align_corners=True)[0, :, 0].T.numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_trilinear_vs_torch():
+    rng = np.random.RandomState(2)
+    vol = rng.randn(5, 6, 7, 4).astype(np.float32)   # H,W,D,C
+    hwd = rng.uniform(-1, 8, size=(60, 3)).astype(np.float32)
+    out = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(hwd), "zeros"))
+
+    # torch: input (1,C,D1,D2,D3) indexed by grid (x->D3, y->D2, z->D1).
+    # Arrange input as (C, H, W, D) so grid (d, w, h) matches (x, y, z) —
+    # exactly the reference's permutation (bev_nerf.py:109-113).
+    t_vol = torch.from_numpy(vol).permute(3, 0, 1, 2)[None]  # 1,C,H,W,D
+    g = torch.from_numpy(hwd)
+    gh = g[:, 0] / (5 - 1) * 2 - 1
+    gw = g[:, 1] / (6 - 1) * 2 - 1
+    gd = g[:, 2] / (7 - 1) * 2 - 1
+    grid = torch.stack([gd, gw, gh], dim=-1).reshape(1, -1, 1, 1, 3)
+    ref = F.grid_sample(t_vol, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)[0, :, :, 0, 0].T.numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_grid_sample_2d_batched():
+    rng = np.random.RandomState(3)
+    imgs = rng.randn(2, 8, 10, 3).astype(np.float32)
+    xy = rng.uniform(-1, 1, size=(2, 25, 2)).astype(np.float32)
+    out = np.asarray(grid_sample_2d(jnp.asarray(imgs), jnp.asarray(xy), "border"))
+    t_imgs = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    grid = torch.from_numpy(xy)[:, None]  # B,1,R,2
+    ref = F.grid_sample(t_imgs, grid, mode="bilinear", padding_mode="border",
+                        align_corners=True)[:, :, 0].transpose(1, 2).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def _torch_ssim(x, y):
+    # reference loss/rgb_loss_ms.py:7-37
+    refl = torch.nn.ReflectionPad2d(1)
+    pool = torch.nn.AvgPool2d(3, 1)
+    x, y = refl(x), refl(y)
+    mu_x, mu_y = pool(x), pool(y)
+    sigma_x = pool(x ** 2) - mu_x ** 2
+    sigma_y = pool(y ** 2) - mu_y ** 2
+    sigma_xy = pool(x * y) - mu_x * mu_y
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    n = (2 * mu_x * mu_y + c1) * (2 * sigma_xy + c2)
+    d = (mu_x ** 2 + mu_y ** 2 + c1) * (sigma_x + sigma_y + c2)
+    return torch.clamp((1 - n / d) / 2, 0, 1)
+
+
+def test_ssim_vs_torch():
+    rng = np.random.RandomState(4)
+    x = rng.rand(2, 12, 16, 3).astype(np.float32)
+    y = rng.rand(2, 12, 16, 3).astype(np.float32)
+    out = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y)))
+    ref = _torch_ssim(torch.from_numpy(x).permute(0, 3, 1, 2),
+                      torch.from_numpy(y).permute(0, 3, 1, 2))
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -1,0 +1,61 @@
+"""MSDeformAttn core-op golden test vs the mmcv PyTorch fallback semantics.
+
+The torch reference below re-implements ``multi_scale_deformable_attn_pytorch``
+(the reference repo's only usable golden for its CUDA kernel, SURVEY §4):
+per-level ``grid_sample(align_corners=False, zeros)`` then attention-weighted
+reduction.
+"""
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from selfocc_tpu.ops.msda import ms_deform_attn
+
+
+def torch_msda(value, spatial_shapes, sampling_locations, attention_weights):
+    bs, _, num_heads, d = value.shape
+    _, nq, _, nl, np_, _ = sampling_locations.shape
+    value_list = value.split([h * w for h, w in spatial_shapes], dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, d, h, w)
+        g = sampling_grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        out.append(s)
+    att = attention_weights.transpose(1, 2).reshape(
+        bs * num_heads, 1, nq, nl * np_)
+    res = (torch.stack(out, dim=-2).flatten(-2) * att).sum(-1)
+    return res.view(bs, num_heads * d, nq).transpose(1, 2).contiguous()
+
+
+def _random_case(seed, bs=2, q=37, heads=3, d=4, shapes=((6, 8), (3, 4)), p=5):
+    rng = np.random.RandomState(seed)
+    L = sum(h * w for h, w in shapes)
+    value = rng.randn(bs, L, heads, d).astype(np.float32)
+    loc = rng.uniform(-0.2, 1.2, size=(bs, q, heads, len(shapes), p, 2)).astype(np.float32)
+    att = rng.rand(bs, q, heads, len(shapes), p).astype(np.float32)
+    att = att / att.sum(axis=(-1, -2), keepdims=True)
+    return value, loc, att, shapes
+
+
+def test_msda_vs_torch():
+    value, loc, att, shapes = _random_case(0)
+    ours = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att)))
+    ref = torch_msda(torch.from_numpy(value), shapes,
+                     torch.from_numpy(loc), torch.from_numpy(att)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msda_query_chunking_equivalence():
+    value, loc, att, shapes = _random_case(1, q=53)
+    full = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att)))
+    chunked = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att),
+        query_chunk=16))
+    np.testing.assert_allclose(full, chunked, atol=1e-6)
