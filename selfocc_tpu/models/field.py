@@ -141,16 +141,18 @@ class TPVSDFField(nn.Module):
         }
 
     def sdf(self, volume, xyz):
-        return self.query_geo(volume, xyz)["sdf"]
+        """SDF-only query — interpolates just channel 0 so gradient taps don't
+        gather the full channel stack."""
+        grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
+        return trilinear_sample(volume[..., :1], grid, padding="zeros")[..., 0]
 
-    def sdf_with_grad(self, volume, xyz):
-        """SDF and its analytic spatial gradient (autodiff through the
-        trilinear interpolation — replaces ``use_numerical_gradients``)."""
+    def sdf_grad(self, volume, xyz):
+        """Analytic spatial SDF gradient (autodiff through the trilinear
+        interpolation — replaces ``use_numerical_gradients`` and the
+        ``cuda_gridsample_grad2`` extension)."""
         def f(p):
             return self.sdf(volume, p).sum()
-        sdf = self.sdf(volume, xyz)
-        grad = jax.grad(f)(xyz)
-        return sdf, grad
+        return jax.grad(f)(xyz)
 
     def sdf_numerical_grad(self, volume, xyz, delta: float):
         """Central-difference gradient (reference ``use_numerical_gradients`` /

@@ -1,0 +1,327 @@
+"""Rendering heads: the flagship NeuS SDF head and the density-field variant.
+
+TPU-native rewrite of ``model/head/neus_head/neus_head.py`` (720 LoC) and the
+``model/head/nerfacc_head`` stack. Key design moves vs the reference:
+
+  * No env-var mode switching: train/eval and the img2lidar matrix choice
+    (``trans_kw`` / ``trans_kw_eval`` / ``render_img2lidar``) are plumbed
+    explicitly by the caller (SURVEY §5.6 prescription).
+  * Per-ray sample tensors stay **dense** ``(N, R, S)`` — the reference
+    flattens to per-camera 1-D and reconstructs with ``ray_indices`` +
+    ``index_add_`` scatters (``neus_head.py:635-645``); on TPU the dense
+    layout turns every loss accumulation into a plain ``sum`` over the sample
+    axis with zero scatters.
+  * Fixed ``num_samples`` uniform sampling (the shipped-config regime) means
+    static shapes end-to-end.
+
+Batch convention: bs = 1 (the reference asserts the same,
+``neus_head.py:517``); the leading camera axis N carries the surround rig.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry.projection import rays_from_img2lidar
+from ..geometry.ray_sampler import RaySampler
+from . import neus
+from .field import TPVSDFField
+
+
+def beta_schedule(beta_init, beta_max, total_iters, it):
+    """Hand-tuned inv_s schedule (``beta_hand_tune=True`` knob,
+    ``neus_head.py:34-37,140``): beta anneals beta_init -> beta_max linearly
+    over total_iters; inv_s = 1/beta. Re-derived — the fork is not vendored."""
+    frac = jnp.clip(it / float(total_iters), 0.0, 1.0)
+    beta = beta_init + (beta_max - beta_init) * frac
+    return 1.0 / beta
+
+
+class NeuSHead(nn.Module):
+    """SDF head: decode field, cast rays, NeuS-composite RGB/depth/sem."""
+
+    roi_aabb: Sequence[float]
+    mapping_args: Dict[str, Any]
+    resolution: float = 0.4
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    num_samples: int = 256
+    beta_init: float = 0.1
+    beta_max: float = 0.195
+    total_iters: int = 3516 * 11
+    beta_hand_tune: bool = False
+    use_numerical_gradients: bool = False
+    numerical_gradients_delta: float = 0.01
+    use_compact_2nd_grad: bool = False
+
+    return_uniform_sdf: bool = False
+    return_max_depth: bool = False
+    return_surface_sdf: bool = False
+    return_second_grad: bool = False
+    return_sample_sdf: bool = False
+    return_sem: bool = False
+
+    # ray sampling
+    ray_sample_mode: str = "fixed"
+    ray_number: Sequence[int] = (192, 400)
+    ray_img_size: Sequence[int] = (768, 1600)
+    ray_upper_crop: int = 0
+    ray_x_dsr_max: Optional[float] = None
+    ray_y_dsr_max: Optional[float] = None
+
+    render_bkgd: str = "white"
+
+    embed_dims: int = 96
+    color_dims: int = 0
+    sem_dims: int = 0
+    density_layers: int = 2
+    sh_deg: int = 0
+    sh_act: str = "relu"
+    two_split: bool = False
+    tpv: bool = True
+
+    def setup(self):
+        self.field = TPVSDFField(
+            mapping_args=self.mapping_args,
+            embed_dims=self.embed_dims,
+            color_dims=self.color_dims,
+            sem_dims=self.sem_dims,
+            density_layers=self.density_layers,
+            sh_deg=self.sh_deg,
+            sh_act=self.sh_act,
+            tpv=self.tpv,
+            beta_init=self.beta_init)
+        self.ray_sampler = RaySampler(
+            ray_sample_mode=self.ray_sample_mode,
+            ray_number=tuple(self.ray_number),
+            ray_img_size=tuple(self.ray_img_size),
+            ray_upper_crop=self.ray_upper_crop,
+            ray_x_dsr_max=self.ray_x_dsr_max,
+            ray_y_dsr_max=self.ray_y_dsr_max)
+        self.ray_sampler_eval = RaySampler(
+            ray_sample_mode="fixed",
+            ray_number=tuple(self.ray_number),
+            ray_img_size=tuple(self.ray_img_size),
+            ray_upper_crop=self.ray_upper_crop)
+
+    # ------------------------------------------------------------------ core
+    def _inv_s(self, global_iter):
+        if self.beta_hand_tune:
+            it = 0.0 if global_iter is None else global_iter
+            return beta_schedule(self.beta_init, self.beta_max,
+                                 self.total_iters, it)
+        return self.field.inv_s()
+
+    def render_rays(self, volume, origin, direction, rng=None,
+                    global_iter=None, train=True):
+        """Render a flat batch of rays against a decoded volume.
+
+        Args:
+          volume: (H, W, D, C) decoded field volume.
+          origin: (R, 3); direction: (R, 3) **unnormalized** (pixel-frustum)
+            directions — normalized here, with ``direction_norm`` kept to
+            convert euclidean ray distance to camera z-depth
+            (``neus_head.py:520-521, 570-577``).
+        Returns:
+          dict of per-ray quantities; ts/deltas already divided by
+          direction_norm (the post-8.16 behavior, ``neus_head.py:570``).
+        """
+        direction = direction.astype(jnp.float32)
+        origin = origin.astype(jnp.float32)
+        direction_norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+        unit_dir = direction / direction_norm
+
+        near, far = neus.ray_aabb_near_far(
+            origin, unit_dir, self.roi_aabb, self.near_plane, self.far_plane)
+        sample_rng = None
+        if train and rng is not None:
+            rng, sample_rng = jax.random.split(rng)
+        segs = neus.sample_uniform(near, far, self.num_samples, sample_rng)
+
+        mids = segs.mids                                     # (R, S)
+        positions = origin[:, None, :] + unit_dir[:, None, :] * mids[..., None]
+
+        geo = self.field.query_geo(volume, positions)
+        sdf = geo["sdf"]                                     # (R, S)
+        if self.use_numerical_gradients:
+            grad = self.field.sdf_numerical_grad(
+                volume, positions, self.numerical_gradients_delta)
+        else:
+            grad = self.field.sdf_grad(volume, positions)
+
+        inv_s = self._inv_s(global_iter)
+        alpha = neus.neus_alpha(sdf, grad, unit_dir, segs.deltas, inv_s)
+        weights = neus.weights_from_alpha(alpha)             # (R, S)
+        acc = weights.sum(axis=-1)                           # (R,)
+
+        out = {
+            "weights": weights,
+            "acc": acc,
+            "fars": far,
+            "inv_s": inv_s,
+            "sdf": sdf,
+            "eik_grad": grad,
+        }
+
+        depth = neus.composite(weights, mids[..., None])[..., 0]
+        out["depth"] = depth / direction_norm[:, 0]
+        out["ts"] = mids / direction_norm
+        out["deltas"] = segs.deltas / direction_norm
+
+        if self.color_dims > 0:
+            rgb_samples = self.field.color(geo["color_feat"], unit_dir[:, None, :])
+            rgb = neus.composite(weights, rgb_samples)
+            bkgd_rng = None
+            if self.render_bkgd == "random":
+                assert rng is not None
+                rng, bkgd_rng = jax.random.split(rng)
+            bkgd = neus.background_color(self.render_bkgd, rgb.shape, bkgd_rng)
+            rgb = rgb + bkgd * (1.0 - acc)[..., None]
+            out["rgb"] = rgb
+        else:
+            out["rgb"] = jnp.zeros(sdf.shape[:-1] + (0,), jnp.float32)
+
+        if self.return_sem and self.sem_dims > 0:
+            sem_samples = jax.nn.softmax(geo["sem_logits"], axis=-1)
+            out["sem"] = neus.composite(weights, sem_samples)
+
+        norm = grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-6)
+        out["normal_vis"] = neus.composite(weights, (norm + 1.0) / 2.0)
+
+        if self.return_second_grad:
+            out["second_grad"] = self.field.second_grad(
+                volume, positions, self.numerical_gradients_delta)
+
+        if self.return_surface_sdf:
+            surf_pts = origin + unit_dir * depth[..., None] * direction_norm
+            out["surface_sdf"] = self.field.sdf(volume, surf_pts)
+
+        if self.return_max_depth:
+            eps = jnp.finfo(jnp.float32).eps
+            deltas_z = out["deltas"]
+            w = jnp.where(deltas_z < eps, 0.0, weights)
+            w_per_d = w / jnp.maximum(deltas_z, eps)
+            idx = jnp.argmax(w_per_d, axis=-1)
+            out["max_depth"] = jnp.take_along_axis(
+                out["ts"], idx[..., None], axis=-1)[..., 0]
+
+        return out
+
+    # ------------------------------------------------------------- interfaces
+    def prepare(self, representation):
+        """Decode the field volume once for chunked eval rendering
+        (``neus_head.py:295-306``). Returns (H, W, D, C) for bs=1."""
+        vol = self.field.decode(representation)
+        return vol[0]
+
+    def __call__(self, representation, img2lidar, rng=None, global_iter=None,
+                 train=True):
+        """Training forward (``neus_head.py:473-713``).
+
+        Args:
+          representation: TPV plane list / BEV tensor (bs=1).
+          img2lidar: (1, N, 4, 4) — caller already selected trans_kw
+            (``temImg2lidar`` for the occ configs) and concatenated the
+            two_split halves if applicable.
+          rng: PRNG key (ray jitter + perturb + random background).
+        """
+        volume = self.field.decode(representation)[0]
+        ray_rng = None
+        if rng is not None:
+            rng, ray_rng = jax.random.split(rng)
+        sampler = self.ray_sampler if train else self.ray_sampler_eval
+        rays = sampler(ray_rng if sampler.ray_sample_mode != "fixed" else None)
+
+        origin, direction = rays_from_img2lidar(img2lidar, rays)
+        bs, num_cams, num_rays = direction.shape[:3]
+        assert bs == 1, "reference pipeline is bs=1 (neus_head.py:517)"
+        origin_flat = jnp.broadcast_to(
+            origin[:, :, None, :], (bs, num_cams, num_rays, 3)).reshape(-1, 3)
+        dir_flat = direction.reshape(-1, 3)
+
+        r = self.render_rays(volume, origin_flat, dir_flat, rng=rng,
+                             global_iter=global_iter, train=train)
+
+        def cams(x, extra=()):
+            return x.reshape((bs, num_cams, num_rays) + tuple(extra))
+
+        S = self.num_samples
+        outputs = {
+            "ms_depths": [cams(r["depth"])],
+            "ms_colors": [cams(r["rgb"], (r["rgb"].shape[-1],))],
+            "ms_accs": [cams(r["acc"])],
+            "ms_fars": [cams(r["fars"])],
+            "ms_rays": rays,
+            "weights": cams(r["weights"], (S,)),
+            "ts": cams(r["ts"], (S,)),
+            "deltas": cams(r["deltas"], (S,)),
+            "eik_grad": r["eik_grad"].reshape(-1, 3),
+            "inv_s": r["inv_s"],
+            "vis_normal": [cams(r["normal_vis"], (3,))],
+        }
+        if self.return_sem and "sem" in r:
+            outputs["sem"] = [cams(r["sem"], (self.sem_dims,))]
+        if self.return_second_grad:
+            outputs["second_grad"] = r["second_grad"].reshape(-1, 3)
+        if self.return_sample_sdf:
+            outputs["sample_sdf"] = cams(r["sdf"], (S,))
+        if self.return_surface_sdf:
+            outputs["surface_sdf"] = cams(r["surface_sdf"])
+        if self.return_max_depth:
+            outputs["ms_max_depths"] = [cams(r["max_depth"])]
+        if self.return_uniform_sdf:
+            usdf_rng = jax.random.split(rng)[1] if rng is not None else None
+            outputs["uniform_sdf"] = self.get_uniform_sdf(
+                volume, self.roi_aabb, self.resolution, shift_rng=usdf_rng)[0]
+        if self.two_split:
+            outputs = split_cams_for_losses(outputs, num_cams)
+        return outputs
+
+    def get_uniform_sdf(self, volume, aabb, resolution, shift_rng=None):
+        """Evaluate the SDF (+ semantics) on a uniform metric grid
+        (``neus_head.py:265-293``). aabb/resolution must be static."""
+        xs = jnp.linspace(aabb[0], aabb[3], int((aabb[3] - aabb[0]) / resolution))
+        ys = jnp.linspace(aabb[1], aabb[4], int((aabb[4] - aabb[1]) / resolution))
+        zs = jnp.linspace(aabb[2], aabb[5], int((aabb[5] - aabb[2]) / resolution))
+        W, H, D = xs.shape[0], ys.shape[0], zs.shape[0]
+        xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"), axis=-1)
+        # meshgrid(ys, xs) gives (H, W, D); channel order (y, x, z) -> (x, y, z)
+        xyz = xyz[..., [1, 0, 2]]
+        if shift_rng is not None:
+            xyz = xyz + jax.random.uniform(shift_rng, xyz.shape) * resolution
+        geo = self.field.query_geo(volume, xyz)
+        return geo["sdf"], geo["sem_logits"], xyz
+
+    def forward_occ(self, representation, aabb=None, resolution=None):
+        """Occupancy eval: uniform-grid SDF (+ argmax semantics)
+        (``neus_head.py:237-263``)."""
+        volume = self.field.decode(representation)[0]
+        aabb = self.roi_aabb if aabb is None else aabb
+        resolution = self.resolution if resolution is None else resolution
+        sdf, sem_logits, xyz = self.get_uniform_sdf(volume, aabb, resolution)
+        out = {"sdf": sdf, "xyz": xyz}
+        if self.return_sem and self.sem_dims > 0:
+            out["sem"] = jnp.argmax(sem_logits, axis=-1)
+            out["logits"] = sem_logits
+        return out
+
+
+def split_cams_for_losses(outputs, num_cams):
+    """two_split camera halving (``neus_head.py:647-665``): first half keeps
+    the depth-supervised quantities, second half the rgb/sem-supervised."""
+    half = num_cams // 2
+    out = dict(outputs)
+    for k in ("ms_depths", "ms_accs", "ms_fars", "ms_max_depths"):
+        if k in out:
+            out[k] = [x[:, :half] for x in out[k]]
+    for k in ("ms_colors", "sem"):
+        if k in out:
+            out[k] = [x[:, half:] for x in out[k]]
+    for k in ("weights", "ts", "deltas", "sample_sdf", "surface_sdf"):
+        if k in out:
+            out[k] = out[k][:, :half]
+    return out

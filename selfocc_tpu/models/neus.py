@@ -1,0 +1,136 @@
+"""NeuS volume renderer: box collider, uniform sampling, SDF->alpha compositing.
+
+TPU-native re-derivation of the non-vendored sdfstudio ``NeuSCustomModel``
+from the NeuS paper (Wang et al., NeurIPS 2021) plus the interface contract
+documented in SURVEY §2.6 (``model/head/neus_head/neus_head.py:396-409,
+554-577, 628-633``). All shipped reference configs use
+``num_samples_importance=0`` / ``num_up_sample_steps=0``
+(``config/nuscenes/nuscenes_occ.py:308-310``), i.e. **fixed uniform sampling
+only** — which is exactly the static-shape regime XLA wants: every ray carries
+``num_samples`` samples, rendering is dense batched math with zero dynamic
+shapes (this replaces nerfacc's variable-samples CUDA ray marching,
+SURVEY §2.9).
+
+Everything is pure-functional over explicit PRNG keys.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RaySegments(NamedTuple):
+    starts: jnp.ndarray   # (R, S) euclidean distance along the unit direction
+    ends: jnp.ndarray     # (R, S)
+    nears: jnp.ndarray    # (R,)
+    fars: jnp.ndarray     # (R,)
+
+    @property
+    def mids(self):
+        return (self.starts + self.ends) / 2
+
+    @property
+    def deltas(self):
+        return self.ends - self.starts
+
+
+def ray_aabb_near_far(origins, directions, aabb, near_plane=0.0, far_plane=1e10):
+    """Axis-aligned box collider (re-derivation of nerfstudio's
+    ``SceneBox``/``AABBBoxCollider`` used at ``neus_head.py:189-196``).
+
+    Args:
+      origins: (R, 3); directions: (R, 3) unit vectors; aabb: static 6-list
+        ``[x0, y0, z0, x1, y1, z1]``.
+    Returns:
+      (near, far): (R,), clamped so ``near_plane <= near <= far``; rays that
+      miss the box collapse to ``near == far`` (zero-length -> zero weights).
+    """
+    lo = jnp.asarray(aabb[:3], jnp.float32)
+    hi = jnp.asarray(aabb[3:], jnp.float32)
+    inv_d = 1.0 / jnp.where(jnp.abs(directions) < 1e-10,
+                            jnp.full_like(directions, 1e-10), directions)
+    t0 = (lo - origins) * inv_d
+    t1 = (hi - origins) * inv_d
+    t_min = jnp.minimum(t0, t1).max(axis=-1)
+    t_max = jnp.maximum(t0, t1).min(axis=-1)
+    near = jnp.maximum(t_min, near_plane)
+    far = jnp.minimum(t_max, far_plane)
+    far = jnp.maximum(far, near)
+    return near, far
+
+
+def sample_uniform(near, far, num_samples: int,
+                   rng: Optional[jax.Array] = None) -> RaySegments:
+    """Uniform bins between near/far with optional per-bin jitter.
+
+    Re-derivation of nerfstudio's ``UniformSampler(single_jitter=False)``:
+    jittered bin edges stay monotone because each edge moves within the two
+    half-bins around it.
+    """
+    R = near.shape[0]
+    bins = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=jnp.float32)[None, :]
+    bins = jnp.broadcast_to(bins, (R, num_samples + 1))
+    if rng is not None:
+        t_rand = jax.random.uniform(rng, (R, num_samples + 1), jnp.float32)
+        centers = (bins[:, 1:] + bins[:, :-1]) / 2
+        upper = jnp.concatenate([centers, bins[:, -1:]], axis=-1)
+        lower = jnp.concatenate([bins[:, :1], centers], axis=-1)
+        bins = lower + (upper - lower) * t_rand
+    t = near[:, None] + (far - near)[:, None] * bins     # (R, S+1)
+    return RaySegments(starts=t[:, :-1], ends=t[:, 1:], nears=near, fars=far)
+
+
+def neus_alpha(sdf, grad, directions, deltas, inv_s, cos_anneal_ratio=1.0):
+    """SDF -> per-sample opacity via the NeuS logistic-CDF section estimate.
+
+    Re-derivation of NeuS Eq. 13 as implemented across sdfstudio forks:
+    estimate the section's entry/exit SDF from the ray-direction/normal
+    cosine, convert through the logistic CDF with learnable sharpness
+    ``inv_s``.
+
+    Args:
+      sdf: (R, S); grad: (R, S, 3) field gradient at samples;
+      directions: (R, 3) unit; deltas: (R, S); inv_s: scalar.
+    Returns: alpha (R, S) in [0, 1].
+    """
+    true_cos = jnp.sum(directions[:, None, :] * grad, axis=-1)
+    relu = jax.nn.relu
+    iter_cos = -(relu(-true_cos * 0.5 + 0.5) * (1.0 - cos_anneal_ratio)
+                 + relu(-true_cos) * cos_anneal_ratio)
+    est_next = sdf + iter_cos * deltas * 0.5
+    est_prev = sdf - iter_cos * deltas * 0.5
+    prev_cdf = jax.nn.sigmoid(est_prev * inv_s)
+    next_cdf = jax.nn.sigmoid(est_next * inv_s)
+    alpha = (prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5)
+    return jnp.clip(alpha, 0.0, 1.0)
+
+
+def weights_from_alpha(alpha):
+    """w_i = alpha_i * prod_{j<i} (1 - alpha_j): exclusive-cumprod
+    transmittance, the XLA replacement for nerfacc's
+    ``render_weight_from_density`` scan kernel (SURVEY §2.9)."""
+    trans = jnp.cumprod(1.0 - alpha + 1e-7, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return alpha * trans
+
+
+def composite(weights, values):
+    """Accumulate per-sample values along rays: (R, S) x (R, S, C) -> (R, C).
+    Dense segment-sum replacement for nerfacc ``accumulate_along_rays``."""
+    return jnp.sum(weights[..., None] * values, axis=-2)
+
+
+def background_color(render_bkgd: str, shape, rng: Optional[jax.Array]):
+    """'white' | 'black' | 'random' (drawn per step, reference
+    ``rendering.py:164-168`` / ``config nuscenes_occ.py:335``)."""
+    if render_bkgd == "white":
+        return jnp.ones(shape, jnp.float32)
+    if render_bkgd == "black":
+        return jnp.zeros(shape, jnp.float32)
+    if render_bkgd == "random":
+        assert rng is not None
+        return jax.random.uniform(rng, shape, jnp.float32)
+    raise ValueError(render_bkgd)

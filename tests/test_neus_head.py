@@ -1,0 +1,159 @@
+"""NeuS head / SDF field behavior tests (shapes + analytic invariants)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from selfocc_tpu.models.heads import NeuSHead
+from selfocc_tpu.models import neus
+
+MAPPING = dict(
+    nonlinear_mode='linear',
+    h_size=[8, 0], h_range=[10.0, 0], h_half=False,
+    w_size=[8, 0], w_range=[10.0, 0], w_half=False,
+    d_size=[8, 0], d_range=[-1.0, 3.0, 3.0])
+AABB = [-10.0, -10.0, -1.0, 10.0, 10.0, 3.0]
+
+
+def make_head(**kw):
+    args = dict(
+        roi_aabb=AABB, mapping_args=MAPPING, resolution=1.0,
+        num_samples=32, embed_dims=16, color_dims=3, sem_dims=4,
+        sh_deg=0, return_sem=True, return_second_grad=True,
+        ray_sample_mode='cellular', ray_number=(4, 6), ray_img_size=(32, 48),
+        render_bkgd='random', tpv=True)
+    args.update(kw)
+    return NeuSHead(**args)
+
+
+def make_rep(rng, head):
+    m = head.field.mapping if hasattr(head, 'field') else None
+    H = W = 17
+    D = 9
+    k1, k2, k3 = jax.random.split(rng, 3)
+    return [jax.random.normal(k1, (1, H * W, 16)) * 0.1,
+            jax.random.normal(k2, (D * H, 16))[None] * 0.1,
+            jax.random.normal(k3, (W * D, 16))[None] * 0.1]
+
+
+def simple_cameras():
+    # one pinhole camera at origin looking +x, one looking +y
+    img2lidar = np.zeros((1, 2, 4, 4), np.float32)
+    # cam 0: pixel (u,v,1) -> dir (1, (u-24)/20, -(v-16)/20)
+    img2lidar[0, 0] = [[0, 0, 1, 0], [1 / 20, 0, -24 / 20, 0],
+                       [0, -1 / 20, 16 / 20, 0.5], [0, 0, 0, 1]]
+    img2lidar[0, 1] = [[-1 / 20, 0, 24 / 20, 0], [0, 0, 1, 0],
+                       [0, -1 / 20, 16 / 20, 0.5], [0, 0, 0, 1]]
+    return jnp.asarray(img2lidar)
+
+
+def test_forward_shapes_and_invariants():
+    head = make_head()
+    rng = jax.random.PRNGKey(0)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    out = head.apply(params, rep, cams, rng, 0, True)
+
+    R = 4 * 6
+    assert out['ms_depths'][0].shape == (1, 2, R)
+    assert out['ms_colors'][0].shape == (1, 2, R, 3)
+    assert out['weights'].shape == (1, 2, R, 32)
+    assert out['ts'].shape == (1, 2, R, 32)
+    assert out['sem'][0].shape == (1, 2, R, 4)
+    assert out['eik_grad'].shape == (2 * R * 32, 3)
+    assert out['second_grad'].shape == (2 * R * 32, 3)
+    w = np.asarray(out['weights'])
+    assert (w >= 0).all()
+    assert (w.sum(-1) <= 1.0 + 1e-4).all()
+    acc = np.asarray(out['ms_accs'][0])
+    np.testing.assert_allclose(w.sum(-1), acc, atol=1e-5)
+    # depth within collider range (z-depth <= euclidean far)
+    d = np.asarray(out['ms_depths'][0])
+    assert (d >= 0).all() and (d <= np.asarray(out['ms_fars'][0]) + 1e-4).all()
+    # sem simplex
+    sem = np.asarray(out['sem'][0])
+    assert (sem.sum(-1) <= 1.0 + 1e-4).all()
+
+
+def test_forward_occ_shapes():
+    head = make_head()
+    rng = jax.random.PRNGKey(1)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    occ = head.apply(params, rep, method='forward_occ')
+    # aabb 20x20x4 m at resolution 1.0 -> 20 x 20 x 4 grid
+    assert occ['sdf'].shape == (20, 20, 4)
+    assert occ['sem'].shape == (20, 20, 4)
+    assert occ['logits'].shape == (20, 20, 4, 4)
+
+
+def test_planar_sdf_gradient_and_eikonal():
+    """A volume holding sdf(x,y,z) = z - 1 must give analytic grad (0,0,1)."""
+    head = make_head()
+    rng = jax.random.PRNGKey(2)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+
+    field = head.bind(params).field
+    H, W, D = 17, 17, 9
+    grid = jnp.stack(jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+        jnp.arange(D, dtype=jnp.float32), indexing='ij'), axis=-1)
+    xyz = field.mapping.grid2meter(grid)
+    vol = jnp.zeros((H, W, D, 8))
+    vol = vol.at[..., 0].set(xyz[..., 2] - 1.0)
+
+    pts = jnp.asarray(np.random.RandomState(0).uniform(
+        -8, 8, size=(50, 3)).astype(np.float32) * np.array([1, 1, 0.2]) +
+        np.array([0, 0, 1.0], np.float32))
+    sdf = field.sdf(vol, pts)
+    np.testing.assert_allclose(np.asarray(sdf), np.asarray(pts[:, 2] - 1), atol=1e-4)
+    grad = field.sdf_grad(vol, pts)
+    np.testing.assert_allclose(np.asarray(grad),
+                               np.tile([0, 0, 1.], (50, 1)), atol=1e-4)
+    sg = field.second_grad(vol, pts, 0.01)
+    np.testing.assert_allclose(np.asarray(sg), np.zeros((50, 3)), atol=1e-2)
+
+
+def test_neus_alpha_surface_crossing():
+    """Alpha must spike where the SDF crosses zero front-to-back."""
+    R, S = 1, 16
+    t = jnp.linspace(0.0, 4.0, S)[None]
+    sdf = 2.0 - t  # crossing at t=2
+    grad = jnp.tile(jnp.array([0., 0., 1.]), (R, S, 1))
+    dirs = jnp.array([[0., 0., -1.]])  # moving against the gradient
+    deltas = jnp.full((R, S), 4.0 / S)
+    alpha = neus.neus_alpha(sdf, grad, dirs, deltas, inv_s=8.0)
+    a = np.asarray(alpha[0])
+    crossing = int(np.argmin(np.abs(np.asarray(sdf[0]))))
+    assert a[crossing] > 0.2
+    assert a[0] < 1e-3
+    w = np.asarray(neus.weights_from_alpha(alpha)[0])
+    assert abs(w.sum() - 1.0) < 0.05  # opaque surface absorbs the ray
+    depth = (w * np.asarray(t[0])).sum()
+    assert abs(depth - 2.0) < 0.2
+
+
+def test_ray_aabb():
+    o = jnp.array([[0., 0., 0.], [100., 0., 0.], [0., 0., 0.]])
+    d = jnp.array([[1., 0., 0.], [1., 0., 0.], [0., 0., 1.]])
+    near, far = neus.ray_aabb_near_far(o, d, [-10, -10, -1, 10, 10, 3],
+                                       near_plane=0.0, far_plane=1e10)
+    np.testing.assert_allclose(np.asarray(near), [0., 0., 0.], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(far), [10., 0., 3.], atol=1e-5)
+
+
+def test_beta_hand_tune_schedule():
+    head = make_head(beta_hand_tune=True, beta_init=0.1, beta_max=0.2,
+                     total_iters=100)
+    rng = jax.random.PRNGKey(3)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    out0 = head.apply(params, rep, cams, rng, 0, True)
+    out1 = head.apply(params, rep, cams, rng, 100, True)
+    np.testing.assert_allclose(float(out0['inv_s']), 10.0, atol=1e-4)
+    np.testing.assert_allclose(float(out1['inv_s']), 5.0, atol=1e-4)
