@@ -1,0 +1,119 @@
+"""Typed configuration system.
+
+Replaces the reference's mmengine python-dict configs with ``_base_``
+inheritance (``config/_base_/*``, SURVEY §5.6) by plain frozen dataclasses.
+Numeric values in the per-experiment constructors
+(``selfocc_tpu/configs/*.py``) are kept verbatim from the corresponding
+reference config files so recipes are comparable line-by-line.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    mapping_args: Dict[str, Any]
+    embed_dims: int = 96
+    num_heads: int = 6
+    num_cams: int = 6
+    num_feature_levels: int = 4
+    num_points_cross: Tuple[int, ...] = (48, 48, 8)
+    num_points_self: int = 12
+    num_layers: int = 4
+    feedforward_channels: int = 192
+    dropout: float = 0.1
+    pos_num_freqs: Tuple[int, ...] = (12, 12, 12)
+    pc_range: Tuple[float, ...] = (-40., -40., -1., 40., 40., 5.4)
+    self_query_chunk: int = 0
+    cross_query_chunk: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    roi_aabb: Tuple[float, ...]
+    mapping_args: Dict[str, Any]
+    resolution: float = 0.4
+    near_plane: float = 0.0
+    far_plane: float = 1e10
+    num_samples: int = 256
+    beta_init: float = 0.1
+    beta_max: float = 0.195
+    total_iters: int = 3516 * 11
+    beta_hand_tune: bool = False
+    use_numerical_gradients: bool = False
+    numerical_gradients_delta: float = 0.01
+    use_compact_2nd_grad: bool = False
+    return_uniform_sdf: bool = False
+    return_max_depth: bool = False
+    return_surface_sdf: bool = False
+    return_second_grad: bool = False
+    return_sample_sdf: bool = False
+    return_sem: bool = False
+    ray_sample_mode: str = "cellular"
+    ray_number: Tuple[int, int] = (48, 100)
+    ray_img_size: Tuple[int, int] = (768, 1600)
+    ray_upper_crop: int = 0
+    ray_x_dsr_max: Optional[float] = None
+    ray_y_dsr_max: Optional[float] = None
+    trans_kw: str = "img2lidar"          # which matrices feed the renderer
+    trans_kw_eval: Optional[str] = None
+    render_bkgd: str = "white"
+    embed_dims: int = 96
+    color_dims: int = 0
+    sem_dims: int = 0
+    density_layers: int = 2
+    sh_deg: int = 0
+    sh_act: str = "relu"
+    two_split: bool = False
+    tpv: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    encoder: EncoderConfig
+    head: HeadConfig
+    lifter_type: str = "TPVQueryLifter"          # or BEVQueryLifter / TPVPositionLifter
+    lifter_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    backbone_type: str = "resnet50"
+    img_backbone_out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    fpn_in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    embed_dims: int = 96
+    freeze_img_backbone: bool = False
+    freeze_img_neck: bool = False
+    use_bev_encoder: bool = False                 # BEVFormer variant
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Full experiment config (model + data + loss + schedule)."""
+
+    name: str
+    model: ModelConfig
+    loss_cfgs: List[Dict[str, Any]]
+    loss_input_convertion: Dict[str, str]
+    img_size: Tuple[int, int] = (768, 1600)       # supervision image size
+    input_size: Tuple[int, int] = (384, 800)      # network input (post aug)
+    num_rays: Tuple[int, int] = (48, 100)
+    num_cams: int = 6
+    max_epochs: int = 12
+    sem: bool = False
+    num_classes: int = 17
+    # optimizer (reference config/_base_/optimizer.py + per-config overrides)
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    backbone_lr_mult: float = 0.1
+    grad_max_norm: float = 35.0
+    warmup_iters: int = 1000
+    multisteplr: bool = True
+    multistep_decay_t: Tuple[int, ...] = (3516 * 9,)
+    multistep_decay_rate: float = 0.1
+    steps_per_epoch: int = 3516
+    # dataset
+    dataset_type: str = "nuScenes_One_Frame_Sweeps_Dist"
+    train_dataset_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    val_dataset_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    wrapper_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    scale_rate: float = 0.5
+    eval_num_rays: Tuple[int, int] = (450, 800)   # utils/config_tools.py:1-8

@@ -1,0 +1,297 @@
+"""The shipped experiment configs, value-for-value mirrors of the reference
+``config/`` python files (SURVEY §2.11). ``get_config(name)`` replaces
+``Config.fromfile``.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from .base import Config, EncoderConfig, HeadConfig, ModelConfig
+
+_REPROJ_INPUTS = {
+    "curr_imgs": "curr_imgs", "prev_imgs": "prev_imgs",
+    "next_imgs": "next_imgs", "weights": "weights", "ts": "ts",
+    "img2prevImg": "img2prevImg", "img2nextImg": "img2nextImg",
+    "ms_rays": "ms_rays"}
+_RGB_INPUTS = {"ms_colors": "ms_colors", "ms_rays": "ms_rays",
+               "gt_imgs": "color_imgs"}
+_SEM_INPUTS = {"sem": "sem", "sem_gt": "sem_gt", "ms_rays": "ms_rays"}
+_EDGE_INPUTS = {"curr_imgs": "curr_imgs", "ms_depths": "ms_depths",
+                "ms_rays": "ms_rays"}
+
+_BASE_CONVERTION = dict(
+    ms_depths="ms_depths", ms_rays="ms_rays", ms_colors="ms_colors",
+    weights="weights", ts="ts", eik_grad="eik_grad")
+
+
+def nuscenes_occ() -> Config:
+    """reference ``config/nuscenes/nuscenes_occ.py`` (354 LoC)."""
+    img_size = (768, 1600)
+    num_rays = (48, 100)
+    mapping_args = dict(
+        nonlinear_mode="linear",
+        h_size=[128, 0], h_range=[40.0, 0], h_half=False,
+        w_size=[128, 0], w_range=[40.0, 0], w_half=False,
+        d_size=[24, 0], d_range=[-1.0, 5.4, 5.4])
+    pc_range = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
+    num_classes = 17
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="RGBLossMS", weight=0.1, img_size=list(img_size),
+             no_ssim=False, ray_resize=list(num_rays),
+             input_dict=dict(_RGB_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="SecondGradLoss", weight=0.01),
+        dict(type="SemCELossMS", weight=0.1, img_size=list(img_size),
+             ray_resize=list(num_rays), input_dict=dict(_SEM_INPUTS)),
+    ]
+    model = ModelConfig(
+        encoder=EncoderConfig(
+            mapping_args=mapping_args, embed_dims=96, num_heads=6, num_cams=6,
+            num_feature_levels=4, num_points_cross=(48, 48, 8),
+            num_points_self=12, num_layers=4, feedforward_channels=192,
+            pc_range=pc_range),
+        head=HeadConfig(
+            roi_aabb=pc_range, mapping_args=mapping_args, resolution=0.4,
+            near_plane=0.0, far_plane=1e10, num_samples=256,
+            beta_init=0.1, beta_max=0.195, total_iters=3516 * 11,
+            beta_hand_tune=False, use_numerical_gradients=False,
+            return_uniform_sdf=False, return_second_grad=True,
+            return_sem=True, return_sample_sdf=False,
+            ray_sample_mode="cellular", ray_number=num_rays,
+            ray_img_size=img_size, trans_kw="temImg2lidar",
+            render_bkgd="random", embed_dims=96, color_dims=24,
+            sem_dims=num_classes, density_layers=2, sh_deg=0, sh_act="relu",
+            two_split=False, tpv=True),
+        lifter_type="TPVQueryLifter", embed_dims=96)
+    convertion = dict(_BASE_CONVERTION, second_grad="second_grad", sem="sem")
+    return Config(
+        name="nuscenes_occ", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=convertion, img_size=img_size,
+        input_size=(384, 800), num_rays=num_rays, num_cams=6, max_epochs=12,
+        sem=True, num_classes=num_classes, lr=1e-4, weight_decay=0.01,
+        multisteplr=True, multistep_decay_t=(3516 * 9,), warmup_iters=1000,
+        steps_per_epoch=3516, scale_rate=0.5, eval_num_rays=(450, 800))
+
+
+def nuscenes_depth() -> Config:
+    """reference ``config/nuscenes/nuscenes_depth.py``."""
+    cfg = nuscenes_occ()
+    img_size = (896, 1600)
+    num_rays = (48, 100)
+    mapping_args = dict(
+        nonlinear_mode="linear",
+        h_size=[128, 0], h_range=[51.2, 0], h_half=False,
+        w_size=[128, 0], w_range=[51.2, 0], w_half=False,
+        d_size=[30, 0], d_range=[-4.0, 5.0, 5.0])
+    pc_range = (-51.2, -51.2, -4.0, 51.2, 51.2, 5.0)
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="EdgeLoss3DMS", weight=0.01, img_size=list(img_size),
+             ray_resize=list(num_rays), input_dict=dict(_EDGE_INPUTS)),
+    ]
+    model = ModelConfig(
+        encoder=dataclasses.replace(cfg.model.encoder, mapping_args=mapping_args,
+                             pc_range=pc_range),
+        head=dataclasses.replace(
+            cfg.model.head, roi_aabb=pc_range, mapping_args=mapping_args,
+            return_second_grad=False, return_sem=False, color_dims=0,
+            sem_dims=0, ray_img_size=img_size),
+        lifter_type="TPVQueryLifter", embed_dims=96)
+    return dataclasses.replace(
+        cfg, name="nuscenes_depth", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=dict(_BASE_CONVERTION), img_size=img_size,
+        input_size=(448, 800), max_epochs=24, sem=False,
+        eval_num_rays=(450, 800))
+
+
+def nuscenes_novel_depth() -> Config:
+    """reference ``config/nuscenes/nuscenes_novel_depth.py``."""
+    cfg = nuscenes_depth()
+    img_size = (768, 1600)
+    num_rays = (48, 100)
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="RGBLossMS", weight=0.1, img_size=list(img_size),
+             no_ssim=False, ray_resize=list(num_rays),
+             input_dict=dict(_RGB_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="SecondGradLoss", weight=0.01),
+    ]
+    model = dataclasses.replace(
+        cfg.model,
+        head=dataclasses.replace(cfg.model.head, return_second_grad=True,
+                          color_dims=3, ray_img_size=img_size))
+    convertion = dict(_BASE_CONVERTION, second_grad="second_grad")
+    return dataclasses.replace(
+        cfg, name="nuscenes_novel_depth", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=convertion, img_size=img_size,
+        input_size=(384, 800))
+
+
+def kitti_occ() -> Config:
+    """reference ``config/kitti/kitti_occ.py``."""
+    img_size = (352, 1216)
+    num_rays = (55, 190)
+    mapping_args = dict(
+        nonlinear_mode="linear",
+        h_size=[256, 0], h_range=[51.2, 0], h_half=True,
+        w_size=[128, 0], w_range=[25.6, 0], w_half=False,
+        d_size=[32, 0], d_range=[-2.0, 4.4, 4.4])
+    pc_range = (-25.6, 0.0, -2.0, 25.6, 51.2, 4.4)
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNew", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="RGBLossMS", weight=0.1, img_size=list(img_size),
+             no_ssim=False, ray_resize=list(num_rays),
+             input_dict=dict(_RGB_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="SecondGradLoss", weight=0.1),
+        dict(type="SoftSparsityLoss", weight=0.005,
+             input_dict={"density": "uniform_sdf"}),
+    ]
+    model = ModelConfig(
+        encoder=EncoderConfig(
+            mapping_args=mapping_args, embed_dims=96, num_heads=6, num_cams=1,
+            num_feature_levels=4, num_points_cross=(48, 48, 8),
+            num_points_self=12, num_layers=4, feedforward_channels=192,
+            pc_range=pc_range),
+        head=HeadConfig(
+            roi_aabb=pc_range, mapping_args=mapping_args, resolution=0.4,
+            num_samples=256, beta_init=0.1, beta_max=0.195,
+            total_iters=3516 * 11, use_numerical_gradients=False,
+            use_compact_2nd_grad=True, return_uniform_sdf=True,
+            return_second_grad=True, ray_sample_mode="cellular",
+            ray_number=num_rays, ray_img_size=img_size,
+            trans_kw="temImg2lidar", render_bkgd="random", embed_dims=96,
+            color_dims=3, sem_dims=0, sh_deg=0, two_split=False, tpv=True),
+        lifter_type="TPVQueryLifter", embed_dims=96)
+    convertion = dict(_BASE_CONVERTION, second_grad="second_grad",
+                      uniform_sdf="uniform_sdf")
+    return Config(
+        name="kitti_occ", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=convertion, img_size=img_size,
+        input_size=(176, 608), num_rays=num_rays, num_cams=1, max_epochs=24,
+        sem=False, num_classes=20, lr=1e-3, weight_decay=0.01,
+        steps_per_epoch=3516, scale_rate=0.5,
+        dataset_type="Kitti_One_Frame", eval_num_rays=(176, 608))
+
+
+def kitti_novel_depth() -> Config:
+    """reference ``config/kitti/kitti_novel_depth.py``."""
+    cfg = kitti_occ()
+    img_size = (370, 1216)
+    loss_cfgs = [c for c in cfg.loss_cfgs if c["type"] != "SoftSparsityLoss"]
+    for c in loss_cfgs:
+        if c["type"] == "SecondGradLoss":
+            c["weight"] = 0.01
+        if "img_size" in c:
+            c["img_size"] = list(img_size)
+    model = dataclasses.replace(
+        cfg.model,
+        head=dataclasses.replace(cfg.model.head, return_uniform_sdf=False,
+                          use_compact_2nd_grad=False, ray_img_size=img_size))
+    convertion = dict(_BASE_CONVERTION, second_grad="second_grad")
+    return dataclasses.replace(
+        cfg, name="kitti_novel_depth", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=convertion, img_size=img_size,
+        input_size=(176, 608))
+
+
+def kitti_raw_depth() -> Config:
+    """reference ``config/kitti_raw/kitti_raw_depth.py`` — the minimum
+    end-to-end slice (SURVEY §7)."""
+    img_size = (370, 1216)
+    num_rays = (44, 152)
+    mapping_args = dict(
+        nonlinear_mode="linear",
+        h_size=[256, 0], h_range=[51.2, 0], h_half=True,
+        w_size=[128, 0], w_range=[25.6, 0], w_half=False,
+        d_size=[32, 0], d_range=[-2.0, 4.4, 4.4])
+    pc_range = (-25.6, 0.0, -2.0, 25.6, 51.2, 4.4)
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNew", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="EdgeLoss3DMS", weight=0.01, img_size=list(img_size),
+             ray_resize=list(num_rays), input_dict=dict(_EDGE_INPUTS)),
+    ]
+    model = ModelConfig(
+        encoder=EncoderConfig(
+            mapping_args=mapping_args, embed_dims=96, num_heads=6, num_cams=1,
+            num_feature_levels=4, num_points_cross=(48, 48, 8),
+            num_points_self=12, num_layers=4, feedforward_channels=192,
+            pc_range=pc_range),
+        head=HeadConfig(
+            roi_aabb=pc_range, mapping_args=mapping_args, resolution=0.4,
+            num_samples=256, beta_init=0.1, beta_max=0.195,
+            total_iters=3516 * 11, return_second_grad=False,
+            ray_sample_mode="cellular", ray_number=num_rays,
+            ray_img_size=img_size, trans_kw="temImg2lidar",
+            render_bkgd="random", embed_dims=96, color_dims=0, sem_dims=0,
+            sh_deg=0, two_split=False, tpv=True),
+        lifter_type="TPVQueryLifter", embed_dims=96)
+    return Config(
+        name="kitti_raw_depth", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=dict(_BASE_CONVERTION), img_size=img_size,
+        input_size=(320, 1024), num_rays=num_rays, num_cams=1, max_epochs=24,
+        sem=False, lr=1e-4, weight_decay=0.01, steps_per_epoch=3516,
+        scale_rate=0.84, dataset_type="Kitti_Raw_Stereo",
+        eval_num_rays=(176, 608))
+
+
+def nuscenes_occ_bev() -> Config:
+    """reference ``config/nuscenes/nuscenes_occ_bev.py`` — BEV representation
+    variant (BEVQueryLifter + tpv=False head; encoder runs single-plane)."""
+    cfg = nuscenes_occ()
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
+             img_size=list(cfg.img_size), ray_resize=list(cfg.num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="RGBLossMS", weight=0.1, img_size=list(cfg.img_size),
+             no_ssim=False, ray_resize=list(cfg.num_rays),
+             input_dict=dict(_RGB_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="SecondGradLoss", weight=0.01),
+        dict(type="SemLossMS", weight=0.1, img_size=list(cfg.img_size),
+             ray_resize=list(cfg.num_rays), input_dict=dict(_SEM_INPUTS)),
+        dict(type="SoftSparsityLoss", weight=0.001,
+             input_dict={"density": "uniform_sdf"}),
+    ]
+    model = dataclasses.replace(
+        cfg.model, lifter_type="BEVQueryLifter", use_bev_encoder=True,
+        head=dataclasses.replace(cfg.model.head, tpv=False, return_uniform_sdf=True))
+    convertion = dict(cfg.loss_input_convertion, uniform_sdf="uniform_sdf")
+    return dataclasses.replace(cfg, name="nuscenes_occ_bev", model=model,
+                        loss_cfgs=loss_cfgs, loss_input_convertion=convertion)
+
+
+_CONFIGS = {
+    "nuscenes_occ": nuscenes_occ,
+    "nuscenes_depth": nuscenes_depth,
+    "nuscenes_novel_depth": nuscenes_novel_depth,
+    "kitti_occ": kitti_occ,
+    "kitti_novel_depth": kitti_novel_depth,
+    "kitti_raw_depth": kitti_raw_depth,
+    "nuscenes_occ_bev": nuscenes_occ_bev,
+}
+
+
+def get_config(name: str) -> Config:
+    """Resolve a config by name or by reference-style path
+    (``config/nuscenes/nuscenes_occ.py`` -> ``nuscenes_occ``)."""
+    key = name
+    if "/" in key or key.endswith(".py"):
+        key = key.rsplit("/", 1)[-1].removesuffix(".py")
+    if key not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; have {sorted(_CONFIGS)}")
+    return _CONFIGS[key]()

@@ -1,0 +1,448 @@
+"""TPVFormer encoder: lifts multi-camera image features onto TPV planes with
+deformable attention.
+
+TPU-native rewrite of ``model/encoder/tpvformer/`` (+ the shared
+``model/encoder/bevformer/attention`` modules). Key redesigns vs the
+reference (SURVEY §2.5, §7 "hard parts"):
+
+  * **Dense masked image cross-attention** replaces the per-camera dynamic
+    rebatching (``bevformer/attention/image_cross_attention.py:84-136``,
+    the #1 XLA-hostile pattern): deformable attention runs for all
+    (camera, query) pairs, per-camera hits are masked, results are summed and
+    divided by the per-query hit count — numerically identical because the
+    rebatch only ever skipped compute whose output was discarded.
+  * The mmcv CUDA ``MultiScaleDeformableAttnFunction`` becomes
+    ``ops.msda.ms_deform_attn`` (pure XLA, query-chunked; Pallas kernel
+    drop-in shares the signature).
+  * Reference-point projection (``point_sampling``) stays an fp32 island.
+  * All reference-point tables are trace-time constants (static shapes).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.mappings import make_mapping
+from ..geometry.projection import point_sampling
+from ..ops.msda import ms_deform_attn
+from .lifter import (fourier_feat_from_meter, normalize_plane_meters,
+                     tpv_plane_meters)
+
+
+# --------------------------------------------------------------------- utils
+def get_cross_view_ref_points(tpv_h, tpv_w, tpv_z, num_points_in_pillar):
+    """Cross-plane 2D reference points for hybrid self-attention.
+
+    Direct port of ``model/encoder/tpvformer/utils.py:5-71`` (numpy, computed
+    once at trace time). Returns (hw+zh+wz, 3, max(P), 2) normalized coords.
+    """
+    p0, p1, p2 = num_points_in_pillar
+
+    def lin(n, steps):
+        return (np.linspace(0.5, n - 0.5, steps) / n).astype(np.float32)
+
+    # --- queries on the hw plane
+    h_r = np.repeat(lin(tpv_h, tpv_h), tpv_w)
+    w_r = np.tile(lin(tpv_w, tpv_w), tpv_h)
+    hw_hw = np.stack([w_r, h_r], -1)[:, None, :].repeat(p2, 1)
+    z_r = np.broadcast_to(lin(tpv_z, p2)[None], (tpv_h * tpv_w, p2))
+    h_q = np.repeat(lin(tpv_h, tpv_h), tpv_w)[:, None].repeat(p2, 1)
+    hw_zh = np.stack([h_q, z_r], -1)
+    w_q = np.tile(lin(tpv_w, tpv_w), tpv_h)[:, None].repeat(p2, 1)
+    hw_wz = np.stack([z_r, w_q], -1)
+
+    # --- queries on the zh plane
+    w_r = np.broadcast_to(lin(tpv_w, p1)[None], (tpv_z * tpv_h, p1))
+    h_q = np.tile(lin(tpv_h, tpv_h), tpv_z)[:, None].repeat(p1, 1)
+    zh_hw = np.stack([w_r, h_q], -1)
+    z_q = np.repeat(lin(tpv_z, tpv_z), tpv_h)[:, None].repeat(p1, 1)
+    zh_zh = np.stack([h_q, z_q], -1)
+    zh_wz = np.stack([z_q, w_r], -1)
+
+    # --- queries on the wz plane
+    h_r = np.broadcast_to(lin(tpv_h, p0)[None], (tpv_w * tpv_z, p0))
+    w_q = np.repeat(lin(tpv_w, tpv_w), tpv_z)[:, None].repeat(p0, 1)
+    wz_hw = np.stack([w_q, h_r], -1)
+    z_q = np.tile(lin(tpv_z, tpv_z), tpv_w)[:, None].repeat(p0, 1)
+    wz_zh = np.stack([h_r, z_q], -1)
+    wz_wz = np.stack([z_q, w_q], -1)
+
+    ref = np.concatenate([
+        np.stack([hw_hw, hw_zh, hw_wz], 1),
+        np.stack([zh_hw, zh_zh, zh_wz], 1),
+        np.stack([wz_hw, wz_zh, wz_wz], 1)], 0)
+    return jnp.asarray(ref)  # (Qtot, 3, P, 2)
+
+
+def tpv_ref_3d(mapping, num_points_cross):
+    """Per-plane 3D reference pillars (reference
+    ``tpvformer_encoder.py:131-154``): each plane cell sweeps
+    ``num_points_cross[i]`` points along its orthogonal axis.
+    Returns three (P, Q, 3) metric arrays."""
+    H, W, D = mapping.size_h, mapping.size_w, mapping.size_d
+    ah = np.arange(H, dtype=np.float32)
+    aw = np.arange(W, dtype=np.float32)
+    ad = np.arange(D, dtype=np.float32)
+    p_hw, p_zh, p_wz = num_points_cross[2], num_points_cross[1], num_points_cross[0]
+
+    ud = np.linspace(0, D - 1, p_hw, dtype=np.float32)
+    hw = np.stack(np.broadcast_arrays(
+        ah[:, None, None], aw[None, :, None], ud[None, None, :]), -1)
+    ref_hw = mapping.grid2meter(jnp.asarray(hw))        # H,W,P,3
+    ref_hw = ref_hw.reshape(H * W, p_hw, 3).swapaxes(0, 1)
+
+    uw = np.linspace(0, W - 1, p_zh, dtype=np.float32)
+    zh = np.stack(np.broadcast_arrays(
+        ah[None, :, None], uw[None, None, :], ad[:, None, None]), -1)
+    ref_zh = mapping.grid2meter(jnp.asarray(zh))        # D,H,P,3
+    ref_zh = ref_zh.reshape(D * H, p_zh, 3).swapaxes(0, 1)
+
+    uh = np.linspace(0, H - 1, p_wz, dtype=np.float32)
+    wz = np.stack(np.broadcast_arrays(
+        uh[None, None, :], aw[:, None, None], ad[None, :, None]), -1)
+    ref_wz = mapping.grid2meter(jnp.asarray(wz))        # W,D,P,3
+    ref_wz = ref_wz.reshape(W * D, p_wz, 3).swapaxes(0, 1)
+    return ref_hw, ref_zh, ref_wz
+
+
+def _offset_bias_init(num_heads, num_levels, num_points, scale_by_point):
+    """mmcv directional init for sampling offsets
+    (``image_cross_attention.py:226-244``; the cross-view/mmcv variant also
+    scales by point index)."""
+    thetas = np.arange(num_heads, dtype=np.float32) * (2 * math.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], -1)
+    grid = grid / np.abs(grid).max(-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    if scale_by_point:
+        grid = grid * (np.arange(1, num_points + 1, dtype=np.float32)
+                       [None, None, :, None])
+    flat = grid.reshape(-1)
+    return lambda rng, shape, dtype=jnp.float32: jnp.asarray(flat, dtype)
+
+
+def _xavier_uniform():
+    return nn.initializers.xavier_uniform()
+
+
+class DeformHeads(nn.Module):
+    """Shared query->(sampling offsets, attention weights) heads."""
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points: int
+    scale_offset_bias: bool = False
+
+    @nn.compact
+    def __call__(self, query):
+        B, Q, _ = query.shape
+        H, L, P = self.num_heads, self.num_levels, self.num_points
+        offsets = nn.Dense(
+            H * L * P * 2, kernel_init=nn.initializers.zeros,
+            bias_init=_offset_bias_init(H, L, P, self.scale_offset_bias),
+            name="sampling_offsets")(query).reshape(B, Q, H, L, P, 2)
+        attn = nn.Dense(
+            H * L * P, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights")(query).reshape(B, Q, H, L * P)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+        return offsets, attn
+
+
+class CrossViewHybridAttention(nn.Module):
+    """TPV self-attention across the 3 planes (reference
+    ``cross_view_hybrid_attention.py:12-124``): the planes act as the 3
+    "levels" of a deformable attention over the concatenated plane sequence,
+    with per-point reference locations from ``get_cross_view_ref_points``."""
+
+    embed_dims: int
+    num_heads: int
+    num_points: int
+    dropout: float = 0.1
+    query_chunk: int = 0
+
+    @nn.compact
+    def __call__(self, query, query_pos, ref_points, spatial_shapes,
+                 identity=None, deterministic=True):
+        # query: (B, Qtot, C); ref_points: (Qtot, 3, P, 2)
+        B, Q, C = query.shape
+        H = self.num_heads
+        D = C // H
+        if identity is None:
+            identity = query
+        value = nn.Dense(C, kernel_init=_xavier_uniform(),
+                         name="value_proj")(query)
+        value = value.reshape(B, Q, H, D)
+        q = query + query_pos
+        offsets, attn = DeformHeads(
+            self.embed_dims, H, 3, self.num_points,
+            scale_offset_bias=True, name="heads")(q)
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], jnp.float32)  # (3, 2)
+        loc = ref_points[None, :, None] + \
+            offsets / normalizer[None, None, None, :, None, :]
+        out = ms_deform_attn(value, spatial_shapes, loc, attn,
+                             query_chunk=self.query_chunk)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(),
+                       name="output_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class BEVCrossAttention(nn.Module):
+    """Image cross-attention for one TPV plane — dense masked rewrite of
+    ``bevformer/attention/image_cross_attention.py:12-139`` +
+    ``BEVDeformableAttention`` (``:149-351``).
+
+    The reference gathers visible queries per camera, runs deformable
+    attention on the rebatch, scatter-adds back and divides by hit count
+    (``:129-136``). Offsets/weights depend only on the query, so the dense
+    all-(camera,query) computation with post-hoc hit masking is numerically
+    identical.
+    """
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points: int
+    dropout: float = 0.1
+    query_chunk: int = 0
+
+    @nn.compact
+    def __call__(self, query, value, ref_cams, masks, spatial_shapes,
+                 residual=None, deterministic=True):
+        # query: (1, Q, C); value: (cams, L, C);
+        # ref_cams: (cams, Q, P, 2); masks: (cams, Q, P)
+        B, Q, C = query.shape
+        cams = value.shape[0]
+        H = self.num_heads
+        D = C // H
+        if residual is None:
+            residual = query
+
+        v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
+        v = v.reshape(cams, -1, H, D)
+        offsets, attn = DeformHeads(
+            self.embed_dims, H, self.num_levels, self.num_points,
+            scale_offset_bias=False, name="heads")(query)
+        normalizer = jnp.asarray(
+            [[w, h] for h, w in spatial_shapes], jnp.float32)
+        # reference BEVDeformableAttention broadcasts the P pillar-reference
+        # points against per-(head, level) offsets (image_cross_attention.py:
+        # 323-328 with reference_points of shape (bs, Q, P, 2)).
+        loc = ref_cams[:, :, None, None, :, :] + \
+            offsets[0][None] / normalizer[None, None, None, :, None, :]
+        attn_c = jnp.broadcast_to(attn[0][None], (cams,) + attn.shape[1:])
+        out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
+                             query_chunk=self.query_chunk)   # (cams, Q, C)
+
+        hit = (masks.sum(-1) > 0).astype(out.dtype)          # (cams, Q)
+        slots = (out * hit[..., None]).sum(0)                # (Q, C)
+        count = jnp.maximum(hit.sum(0), 1.0)
+        slots = (slots / count[..., None])[None]             # (1, Q, C)
+
+        slots = nn.Dense(C, kernel_init=_xavier_uniform(),
+                         name="output_proj")(slots)
+        slots = nn.Dropout(self.dropout)(slots, deterministic=deterministic)
+        return slots + residual
+
+
+class FFN(nn.Module):
+    """mmcv-style FFN with residual (2 fcs, ReLU)."""
+
+    embed_dims: int
+    feedforward_channels: int
+    ffn_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, identity=None, deterministic=True):
+        if identity is None:
+            identity = x
+        y = nn.Dense(self.feedforward_channels, name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dropout(self.ffn_drop)(y, deterministic=deterministic)
+        y = nn.Dense(self.embed_dims, name="fc2")(y)
+        y = nn.Dropout(self.ffn_drop)(y, deterministic=deterministic)
+        return y + identity
+
+
+class TPVFormerLayer(nn.Module):
+    """One encoder layer, operation order
+    ``self_attn -> norm -> cross_attn -> norm -> ffn -> norm``
+    (reference ``tpvformer_encoder_layer.py:123-219``, post-norm)."""
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points_cross: Sequence[int]
+    num_points_self: int
+    feedforward_channels: int
+    dropout: float = 0.1
+    self_query_chunk: int = 0
+    cross_query_chunk: int = 0
+
+    @nn.compact
+    def __call__(self, planes, value, tpv_pos, cross_view_ref, ref_cams_list,
+                 masks_list, img_spatial_shapes, tpv_size, deterministic=True):
+        H, W, D = tpv_size
+        sizes = [H * W, D * H, W * D]
+        plane_shapes = ((H, W), (D, H), (W, D))
+
+        # ---- cross-view hybrid self-attention over concatenated planes
+        q = jnp.concatenate(planes, axis=1)
+        pos = jnp.concatenate(tpv_pos, axis=1)
+        q = CrossViewHybridAttention(
+            self.embed_dims, self.num_heads, self.num_points_self,
+            dropout=self.dropout, query_chunk=self.self_query_chunk,
+            name="self_attn")(
+                q, pos, cross_view_ref, plane_shapes,
+                deterministic=deterministic)
+        q = nn.LayerNorm(name="norm1")(q)
+        planes = jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+
+        # ---- per-plane image cross-attention
+        new_planes = []
+        for i, plane in enumerate(planes):
+            out = BEVCrossAttention(
+                self.embed_dims, self.num_heads, self.num_levels,
+                self.num_points_cross[i], dropout=self.dropout,
+                query_chunk=self.cross_query_chunk,
+                name=f"cross_attn_{i}")(
+                    plane, value, ref_cams_list[i], masks_list[i],
+                    img_spatial_shapes, deterministic=deterministic)
+            new_planes.append(out)
+        q = jnp.concatenate(new_planes, axis=1)
+        q = nn.LayerNorm(name="norm2")(q)
+
+        # ---- FFN
+        q = FFN(self.embed_dims, self.feedforward_channels,
+                ffn_drop=self.dropout, name="ffn")(
+                    q, deterministic=deterministic)
+        q = nn.LayerNorm(name="norm3")(q)
+        return jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+
+
+class TPVPositionalEncoding(nn.Module):
+    """Fourier features of normalized plane meters -> per-plane Linear
+    (reference ``tpvformer_pos_embed.py:17-58``)."""
+
+    num_freqs: Sequence[int]
+    embed_dims: int
+    tot_range: Sequence[float]
+    mapping_args: Dict[str, Any]
+
+    @nn.compact
+    def __call__(self):
+        mapping = make_mapping(**self.mapping_args)
+        hw, zh, wz = tpv_plane_meters(mapping)
+        hw, zh, wz = normalize_plane_meters(hw, zh, wz, list(self.tot_range))
+        out = []
+        for name, f, m in (("hw", self.num_freqs[0], hw),
+                           ("zh", self.num_freqs[1], zh),
+                           ("wz", self.num_freqs[2], wz)):
+            feat = fourier_feat_from_meter(f, m)
+            out.append(nn.Dense(self.embed_dims,
+                                name=f"position_layer_{name}")(feat))
+        return out
+
+
+class TPVFormerEncoder(nn.Module):
+    """The full encoder (reference ``tpvformer_encoder.py:20-290``)."""
+
+    mapping_args: Dict[str, Any]
+    embed_dims: int = 96
+    num_heads: int = 6
+    num_cams: int = 6
+    num_feature_levels: int = 4
+    num_points_cross: Sequence[int] = (64, 64, 8)
+    num_points_self: int = 16
+    num_layers: int = 4
+    feedforward_channels: int = 192
+    dropout: float = 0.1
+    pos_num_freqs: Sequence[int] = (12, 12, 12)
+    pc_range: Sequence[float] = (-40., -40., -1., 40., 40., 5.4)
+    self_query_chunk: int = 0
+    cross_query_chunk: int = 0
+
+    def setup(self):
+        self.mapping = make_mapping(**self.mapping_args)
+        self.positional_encoding = TPVPositionalEncoding(
+            num_freqs=tuple(self.pos_num_freqs), embed_dims=self.embed_dims,
+            tot_range=tuple(self.pc_range), mapping_args=self.mapping_args)
+        self.level_embeds = self.param(
+            "level_embeds", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.embed_dims))
+        self.cams_embeds = self.param(
+            "cams_embeds", nn.initializers.normal(1.0),
+            (self.num_cams, self.embed_dims))
+        self.layers = [
+            TPVFormerLayer(
+                embed_dims=self.embed_dims, num_heads=self.num_heads,
+                num_levels=self.num_feature_levels,
+                num_points_cross=tuple(self.num_points_cross),
+                num_points_self=self.num_points_self,
+                feedforward_channels=self.feedforward_channels,
+                dropout=self.dropout,
+                self_query_chunk=self.self_query_chunk,
+                cross_query_chunk=self.cross_query_chunk,
+                name=f"layer_{i}")
+            for i in range(self.num_layers)]
+
+    @property
+    def tpv_size(self):
+        m = self.mapping
+        return (m.size_h, m.size_w, m.size_d)
+
+    def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
+                 focal_ratios_x=None, focal_ratios_y=None,
+                 deterministic=True):
+        """Args:
+          representation: [hw (B,HW,C), zh (B,DH,C), wz (B,WD,C)] queries.
+          ms_img_feats: list of (B, N, h_l, w_l, C) per level (channel-last).
+          lidar2img: (B, N, 4, 4); img_shape: static (H, W) of the padded
+            input image; focal_ratios: optional (N,) aug scales.
+        """
+        B = ms_img_feats[0].shape[0]
+        assert B == 1, "bs=1 pipeline (see heads.py)"
+        H, W, D = self.tpv_size
+
+        # positional embeds
+        tpv_pos = [p[None] for p in self.positional_encoding()]
+
+        # flatten pyramid + camera/level embeds (tpvformer_encoder.py:261-277)
+        feats = []
+        img_spatial_shapes = []
+        for lvl, feat in enumerate(ms_img_feats):
+            _, N, h, w, C = feat.shape
+            f = feat.reshape(N, h * w, C)
+            f = f + self.cams_embeds[:, None, :]
+            f = f + self.level_embeds[lvl][None, None, :]
+            feats.append(f)
+            img_spatial_shapes.append((h, w))
+        value = jnp.concatenate(feats, axis=1)          # (N, L, C)
+        img_spatial_shapes = tuple(img_spatial_shapes)
+
+        # reference points: 3D pillars projected into the cameras (fp32)
+        refs = tpv_ref_3d(self.mapping, tuple(self.num_points_cross))
+        ref_cams_list, masks_list = [], []
+        for ref in refs:
+            rc, m = point_sampling(ref, lidar2img, img_shape,
+                                   focal_ratios_x, focal_ratios_y)
+            # (N, B, Q, P, 2) -> bs=1 -> (N, Q, P, 2)
+            ref_cams_list.append(rc[:, 0])
+            masks_list.append(m[:, 0])
+
+        cross_view_ref = get_cross_view_ref_points(
+            H, W, D, (self.num_points_self,) * 3)
+
+        planes = list(representation)
+        for layer in self.layers:
+            planes = layer(planes, value, tpv_pos, cross_view_ref,
+                           ref_cams_list, masks_list, img_spatial_shapes,
+                           (H, W, D), deterministic=deterministic)
+        return {"representation": list(planes)}

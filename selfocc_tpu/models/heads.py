@@ -175,10 +175,15 @@ class NeuSHead(nn.Module):
             rgb_samples = self.field.color(geo["color_feat"], unit_dir[:, None, :])
             rgb = neus.composite(weights, rgb_samples)
             bkgd_rng = None
-            if self.render_bkgd == "random":
-                assert rng is not None
-                rng, bkgd_rng = jax.random.split(rng)
-            bkgd = neus.background_color(self.render_bkgd, rgb.shape, bkgd_rng)
+            bkgd_mode = self.render_bkgd
+            if bkgd_mode == "random":
+                if rng is None:
+                    # rng-less eval rendering: fall back to white — only the
+                    # rgb compositing is affected, never depth/weights.
+                    bkgd_mode = "white"
+                else:
+                    rng, bkgd_rng = jax.random.split(rng)
+            bkgd = neus.background_color(bkgd_mode, rgb.shape, bkgd_rng)
             rgb = rgb + bkgd * (1.0 - acc)[..., None]
             out["rgb"] = rgb
         else:

@@ -1,0 +1,146 @@
+"""TPVSegmentor — the end-to-end model orchestrator.
+
+TPU-native rewrite of ``model/segmentor/tpv_segmentor.py`` +
+``base_segmentor.py``: backbone -> neck -> lifter -> encoder -> head, as one
+Flax module with explicit mode methods instead of boolean-flag dispatch
+(reference ``tpv_segmentor.py:87-125``).
+
+All camera matrices arrive as stacked arrays; images are NHWC.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..configs.base import ModelConfig
+from .encoder import TPVFormerEncoder
+from .fpn import FPN
+from .heads import NeuSHead
+from .lifter import BEVQueryLifter, TPVPositionLifter, TPVQueryLifter
+from .resnet import ResNet50
+
+
+class TPVSegmentor(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.img_backbone = ResNet50(name="img_backbone")
+        self.img_neck = FPN(
+            in_channels=tuple(c.fpn_in_channels),
+            out_channels=c.embed_dims, num_outs=len(c.fpn_in_channels),
+            name="img_neck")
+        if c.lifter_type == "TPVQueryLifter":
+            m = self._encoder_sizes()
+            self.lifter = TPVQueryLifter(
+                tpv_h=m[0], tpv_w=m[1], tpv_z=m[2], dim=c.embed_dims,
+                name="lifter")
+        elif c.lifter_type == "BEVQueryLifter":
+            m = self._encoder_sizes()
+            self.lifter = BEVQueryLifter(
+                bev_h=m[0], bev_w=m[1], dim=c.embed_dims, name="lifter")
+        elif c.lifter_type == "TPVPositionLifter":
+            self.lifter = TPVPositionLifter(
+                embed_dims=c.embed_dims, name="lifter", **c.lifter_args)
+        else:
+            raise ValueError(c.lifter_type)
+        e = c.encoder
+        self.encoder = TPVFormerEncoder(
+            mapping_args=e.mapping_args, embed_dims=e.embed_dims,
+            num_heads=e.num_heads, num_cams=e.num_cams,
+            num_feature_levels=e.num_feature_levels,
+            num_points_cross=tuple(e.num_points_cross),
+            num_points_self=e.num_points_self, num_layers=e.num_layers,
+            feedforward_channels=e.feedforward_channels, dropout=e.dropout,
+            pos_num_freqs=tuple(e.pos_num_freqs),
+            pc_range=tuple(e.pc_range),
+            self_query_chunk=e.self_query_chunk,
+            cross_query_chunk=e.cross_query_chunk,
+            name="encoder")
+        h = c.head
+        self.head = NeuSHead(
+            roi_aabb=tuple(h.roi_aabb), mapping_args=h.mapping_args,
+            resolution=h.resolution, near_plane=h.near_plane,
+            far_plane=h.far_plane, num_samples=h.num_samples,
+            beta_init=h.beta_init, beta_max=h.beta_max,
+            total_iters=h.total_iters, beta_hand_tune=h.beta_hand_tune,
+            use_numerical_gradients=h.use_numerical_gradients,
+            numerical_gradients_delta=h.numerical_gradients_delta,
+            use_compact_2nd_grad=h.use_compact_2nd_grad,
+            return_uniform_sdf=h.return_uniform_sdf,
+            return_max_depth=h.return_max_depth,
+            return_surface_sdf=h.return_surface_sdf,
+            return_second_grad=h.return_second_grad,
+            return_sample_sdf=h.return_sample_sdf,
+            return_sem=h.return_sem,
+            ray_sample_mode=h.ray_sample_mode,
+            ray_number=tuple(h.ray_number),
+            ray_img_size=tuple(h.ray_img_size),
+            ray_upper_crop=h.ray_upper_crop,
+            ray_x_dsr_max=h.ray_x_dsr_max, ray_y_dsr_max=h.ray_y_dsr_max,
+            render_bkgd=h.render_bkgd, embed_dims=h.embed_dims,
+            color_dims=h.color_dims, sem_dims=h.sem_dims,
+            density_layers=h.density_layers, sh_deg=h.sh_deg,
+            sh_act=h.sh_act, two_split=h.two_split, tpv=h.tpv,
+            name="head")
+
+    def _encoder_sizes(self):
+        from ..geometry.mappings import make_mapping
+        m = make_mapping(**self.cfg.encoder.mapping_args)
+        return m.size_h, m.size_w, m.size_d
+
+    # ------------------------------------------------------------------ parts
+    def extract_img_feat(self, imgs, train: bool = False, flip: bool = False):
+        """Backbone + neck (reference ``tpv_segmentor.py:36-69``).
+
+        Args: imgs (B, N, H, W, 3) normalized NHWC.
+        Returns: list of (B, N, h, w, C) per FPN level.
+        """
+        B, N, H, W, C3 = imgs.shape
+        x = imgs.reshape(B * N, H, W, C3)
+        feats = self.img_backbone(x, train=train)
+        feats = [feats[i] for i in self.cfg.img_backbone_out_indices]
+        feats = self.img_neck(feats)
+        out = []
+        for f in feats:
+            if flip:
+                f = f[:, :, ::-1]
+            out.append(f.reshape(B, N, *f.shape[1:]))
+        return out
+
+    def get_representation(self, imgs, lidar2img, train: bool = False,
+                           flip: bool = False):
+        """backbone -> neck -> lifter -> encoder."""
+        ms_img_feats = self.extract_img_feat(imgs, train=train, flip=flip)
+        rep = self.lifter(ms_img_feats)["representation"]
+        img_shape = (imgs.shape[2], imgs.shape[3])
+        rep = self.encoder(rep, ms_img_feats, lidar2img, img_shape,
+                           deterministic=not train)["representation"]
+        return rep
+
+    # ------------------------------------------------------------------ modes
+    def __call__(self, imgs, lidar2img, img2lidar, rng=None,
+                 global_iter=None, train: bool = True, flip: bool = False):
+        """Training forward -> head render outputs (loss inputs)."""
+        rep = self.get_representation(imgs, lidar2img, train=train, flip=flip)
+        return self.head(rep, img2lidar, rng=rng, global_iter=global_iter,
+                         train=train)
+
+    def forward_occ(self, imgs, lidar2img, aabb=None, resolution=None,
+                    flip: bool = False):
+        """Occupancy eval (``occ_only=True`` path, ``tpv_segmentor.py:118``)."""
+        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip)
+        return self.head.forward_occ(rep, aabb=aabb, resolution=resolution)
+
+    def prepare(self, imgs, lidar2img, flip: bool = False):
+        """Decode and cache the field volume (``prepare=True`` path)."""
+        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip)
+        return self.head.prepare(rep)
+
+    def render_rays(self, volume, origin, direction):
+        """Render a ray chunk against a prepared volume (eval-time chunked
+        rendering, ``neus_head.py:308-471``)."""
+        return self.head.render_rays(volume, origin, direction, train=False)
