@@ -77,6 +77,26 @@ class ResNet50(nn.Module):
         return outs
 
 
+class TinyBackbone(nn.Module):
+    """4-level strided-conv stub emitting ResNet-shaped pyramids — test/CI
+    stand-in (compiles in seconds where ResNet-50's grad graph takes minutes
+    on the CPU test backend). Not used by any shipped config."""
+
+    channels: Sequence[int] = (256, 512, 1024, 2048)
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        outs = []
+        for i, ch in enumerate(self.channels):
+            stride = 4 if i == 0 else 2
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride),
+                        padding="SAME", name=f"conv{i}")(x)
+            x = nn.relu(x)
+            outs.append(x)
+        return outs
+
+
 # --------------------------------------------------------------- conversion
 def _conv_w(t):
     # torch OIHW -> flax HWIO

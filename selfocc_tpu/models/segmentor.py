@@ -28,7 +28,12 @@ class TPVSegmentor(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.img_backbone = ResNet50(name="img_backbone")
+        if c.backbone_type == "tiny":
+            from .resnet import TinyBackbone
+            self.img_backbone = TinyBackbone(
+                channels=tuple(c.fpn_in_channels), name="img_backbone")
+        else:
+            self.img_backbone = ResNet50(name="img_backbone")
         self.img_neck = FPN(
             in_channels=tuple(c.fpn_in_channels),
             out_channels=c.embed_dims, num_outs=len(c.fpn_in_channels),
