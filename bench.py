@@ -1,0 +1,112 @@
+"""Benchmark: surround-view depth rendering throughput (the north-star metric).
+
+Reference baseline: 6 cams x 450x800 rays x 256 samples rendered in ~90 min on
+one RTX3090 (``README.md:95``, BASELINE.md) => ~400 rays/s. This benchmark
+renders the same ray workload (2.16M rays, nuscenes_occ field: TPV 257x257x25,
+42-channel volume, analytic SDF gradients for NeuS alpha) against a decoded
+field volume and reports rays/sec plus the ratio vs that baseline.
+
+Prints ONE JSON line:
+  {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
+   "vs_baseline": N/400}
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=32768)
+    ap.add_argument("--cams", type=int, default=6)
+    ap.add_argument("--rays", type=int, nargs=2, default=[450, 800])
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.geometry.projection import rays_from_img2lidar
+    from selfocc_tpu.geometry.ray_sampler import RaySampler
+    from selfocc_tpu.data.synthetic import SyntheticDataset
+    from selfocc_tpu.models.heads import NeuSHead
+
+    cfg = get_config("nuscenes_occ")
+    h = cfg.model.head
+    head = NeuSHead(
+        roi_aabb=tuple(h.roi_aabb), mapping_args=h.mapping_args,
+        resolution=h.resolution, near_plane=h.near_plane, far_plane=h.far_plane,
+        num_samples=h.num_samples, beta_init=h.beta_init,
+        return_sem=h.return_sem, ray_sample_mode="fixed",
+        ray_number=(4, 6), ray_img_size=tuple(cfg.img_size),
+        render_bkgd="white", embed_dims=h.embed_dims, color_dims=h.color_dims,
+        sem_dims=h.sem_dims, density_layers=h.density_layers, sh_deg=h.sh_deg,
+        sh_act=h.sh_act, tpv=h.tpv)
+
+    rng = jax.random.PRNGKey(0)
+    from selfocc_tpu.geometry.mappings import make_mapping
+    m = make_mapping(**h.mapping_args)
+    H, W, D = m.size_h, m.size_w, m.size_d
+    k1, k2, k3 = jax.random.split(rng, 3)
+    rep = [jax.random.normal(k1, (1, H * W, h.embed_dims)) * 0.1,
+           jax.random.normal(k2, (1, D * H, h.embed_dims)) * 0.1,
+           jax.random.normal(k3, (1, W * D, h.embed_dims)) * 0.1]
+
+    ds = SyntheticDataset(num_cams=args.cams, input_size=(64, 96),
+                          img_size=tuple(cfg.img_size))
+    batch = ds[0]
+    img2lidar = jnp.asarray(batch["img2lidar"])
+
+    variables = jax.jit(lambda: head.init(
+        {"params": rng, "dropout": rng}, rep, img2lidar, rng, 0, True))()
+    volume = jax.jit(lambda: head.apply(variables, rep, method="prepare"))()
+    if args.dtype != "float32":
+        volume = volume.astype(args.dtype)
+
+    sampler = RaySampler(ray_sample_mode="fixed", ray_number=tuple(args.rays),
+                         ray_img_size=tuple(cfg.img_size))
+    rays = sampler()
+    origin, direction = rays_from_img2lidar(img2lidar, rays)
+    R = rays.shape[0]
+    origin = jnp.broadcast_to(origin[0, :, None, :],
+                              (args.cams, R, 3)).reshape(-1, 3)
+    direction = direction[0].reshape(-1, 3)
+    total_rays = origin.shape[0]
+
+    pad = (-total_rays) % args.chunk
+    origin = jnp.pad(origin, ((0, pad), (0, 0)))
+    direction = jnp.pad(
+        direction, ((0, pad), (0, 0)), constant_values=1.0)
+    n_chunks = origin.shape[0] // args.chunk
+    origin = origin.reshape(n_chunks, args.chunk, 3)
+    direction = direction.reshape(n_chunks, args.chunk, 3)
+
+    render = jax.jit(lambda o, d: head.apply(
+        variables, volume, o, d, train=False, method="render_rays")["depth"])
+
+    # warmup / compile
+    jax.block_until_ready(render(origin[0], direction[0]))
+
+    t0 = time.time()
+    for _ in range(args.repeat):
+        out = []
+        for i in range(n_chunks):
+            out.append(render(origin[i], direction[i]))
+        jax.block_until_ready(out)
+    dt = (time.time() - t0) / args.repeat
+
+    rays_per_sec = total_rays / dt
+    baseline = 2_160_000 / (90 * 60)  # ~400 rays/s (RTX3090, README.md:95)
+    print(json.dumps({
+        "metric": "render_rays_per_sec",
+        "value": round(float(rays_per_sec), 1),
+        "unit": "rays/s",
+        "vs_baseline": round(float(rays_per_sec / baseline), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

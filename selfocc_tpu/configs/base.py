@@ -60,6 +60,7 @@ class HeadConfig:
     trans_kw: str = "img2lidar"          # which matrices feed the renderer
     trans_kw_eval: Optional[str] = None
     render_bkgd: str = "white"
+    train_ray_chunk: int = 4096   # remat'd training-render chunk (0 = dense)
     embed_dims: int = 96
     color_dims: int = 0
     sem_dims: int = 0

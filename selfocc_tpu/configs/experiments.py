@@ -275,7 +275,54 @@ def nuscenes_occ_bev() -> Config:
                         loss_cfgs=loss_cfgs, loss_input_convertion=convertion)
 
 
+def tiny() -> Config:
+    """Miniature config (tiny backbone, 17^2x9 TPV grid) for smoke tests and
+    multi-chip dry runs — not a reference experiment."""
+    mapping = dict(
+        nonlinear_mode="linear",
+        h_size=[8, 0], h_range=[10.0, 0], h_half=False,
+        w_size=[8, 0], w_range=[10.0, 0], w_half=False,
+        d_size=[8, 0], d_range=[-1.0, 3.0, 3.0])
+    pc = (-10.0, -10.0, -1.0, 10.0, 10.0, 3.0)
+    img_size = (64, 96)
+    num_rays = (4, 6)
+    head = HeadConfig(
+        roi_aabb=pc, mapping_args=mapping, resolution=1.0, num_samples=16,
+        return_second_grad=True, return_sem=True, ray_sample_mode="cellular",
+        ray_number=num_rays, ray_img_size=img_size, trans_kw="temImg2lidar",
+        render_bkgd="random", embed_dims=32, color_dims=6, sem_dims=5,
+        sh_deg=0, tpv=True)
+    enc = EncoderConfig(
+        mapping_args=mapping, embed_dims=32, num_heads=4, num_cams=2,
+        num_feature_levels=4, num_points_cross=(4, 4, 4), num_points_self=4,
+        num_layers=1, feedforward_channels=64, pos_num_freqs=(4, 4, 4),
+        pc_range=pc)
+    model = ModelConfig(encoder=enc, head=head, lifter_type="TPVQueryLifter",
+                        embed_dims=32, backbone_type="tiny",
+                        fpn_in_channels=(32, 64, 128, 256))
+    loss_cfgs = [
+        dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
+             img_size=list(img_size), ray_resize=list(num_rays),
+             input_dict=dict(_REPROJ_INPUTS)),
+        dict(type="RGBLossMS", weight=0.1, img_size=list(img_size),
+             no_ssim=False, ray_resize=list(num_rays),
+             input_dict=dict(_RGB_INPUTS)),
+        dict(type="EikonalLoss", weight=0.1),
+        dict(type="SecondGradLoss", weight=0.01),
+        dict(type="SemCELossMS", weight=0.1, img_size=list(img_size),
+             ray_resize=list(num_rays), input_dict=dict(_SEM_INPUTS)),
+    ]
+    convertion = dict(_BASE_CONVERTION, second_grad="second_grad", sem="sem")
+    return Config(
+        name="tiny", model=model, loss_cfgs=loss_cfgs,
+        loss_input_convertion=convertion, img_size=img_size,
+        input_size=(32, 48), num_rays=num_rays, num_cams=2, max_epochs=1,
+        sem=True, num_classes=5, steps_per_epoch=10, multistep_decay_t=(90,),
+        warmup_iters=5, eval_num_rays=(8, 12))
+
+
 _CONFIGS = {
+    "tiny": tiny,
     "nuscenes_occ": nuscenes_occ,
     "nuscenes_depth": nuscenes_depth,
     "nuscenes_novel_depth": nuscenes_novel_depth,

@@ -135,6 +135,28 @@ class SyntheticDataset:
         # semantic classes from quantized scene color
         sem = (curr[..., 0] * (self.num_classes - 1)).astype(np.int32)
 
+        # exact sparse depth GT (stands in for lidar projections,
+        # reference get_depth_from_lidar, dataset_one_frame_sweeps_dist.py:158)
+        rs = np.random.RandomState(idx)
+        n_pts = 256
+        Hs, Ws = self.img_size
+        locs, gts = [], []
+        Kinv = np.linalg.inv(self.K_sup[:3, :3])
+        for n in range(self.num_cams):
+            u = rs.uniform(0, Ws - 1, n_pts)
+            v = rs.uniform(0, Hs - 1, n_pts)
+            pix = np.stack([u + 0.5, v + 0.5, np.ones_like(u)], -1)
+            dirs_cam = pix @ Kinv.T
+            R = self.cam2lidar_sup[n][:3, :3]
+            dirs = dirs_cam @ R.T
+            origin = self.cam2lidar_sup[n][:3, 3]
+            t = _ray_ground_depth(origin[None], dirs)   # z-depth (dir_z_cam=1)
+            locs.append(np.stack([u / (Ws - 1), v / (Hs - 1)], -1))
+            gts.append(t)
+        depth_loc = np.stack(locs)       # N, n, 2 in [0, 1]
+        depth_gt = np.stack(gts)         # N, n
+        depth_mask = (depth_gt > 0.5) & (depth_gt < 59.0)
+
         def b(x):
             return x[None].astype(np.float32)
 
@@ -150,4 +172,46 @@ class SyntheticDataset:
             "temImg2lidar": b(i2l),
             "img2prevImg": b(img2prev),
             "img2nextImg": b(img2next),
+            "depth_loc": depth_loc.astype(np.float32),
+            "depth_gt": depth_gt.astype(np.float32),
+            "depth_mask": depth_mask,
         }
+
+    def novel_view_sample(self, idx: int, offset: float):
+        """Camera matrices + exact depth GT for a temporally shifted ego pose
+        (stands in for ``nuScenes_One_Frame_Eval``'s per-neighbor
+        ``temImg2lidars``, reference ``dataset_one_frame_eval.py:16-249``)."""
+        shift = np.array([offset, 0.0, 0.0])
+        l2i, i2l = self._matrices(shift)
+        rs = np.random.RandomState(1000 + idx)
+        n_pts = 256
+        Hs, Ws = self.img_size
+        Kinv = np.linalg.inv(self.K_sup[:3, :3])
+        locs, gts = [], []
+        for n in range(self.num_cams):
+            u = rs.uniform(0, Ws - 1, n_pts)
+            v = rs.uniform(0, Hs - 1, n_pts)
+            pix = np.stack([u + 0.5, v + 0.5, np.ones_like(u)], -1)
+            dirs = (pix @ Kinv.T) @ self.cam2lidar_sup[n][:3, :3].T
+            origin = self.cam2lidar_sup[n][:3, 3] + shift
+            t = _ray_ground_depth(origin[None], dirs)
+            locs.append(np.stack([u / (Ws - 1), v / (Hs - 1)], -1))
+            gts.append(t)
+        depth_gt = np.stack(gts)
+        return {
+            "temImg2lidar": i2l[None].astype(np.float32),
+            "depth_loc": np.stack(locs).astype(np.float32),
+            "depth_gt": depth_gt.astype(np.float32),
+            "depth_mask": (depth_gt > 0.5) & (depth_gt < 59.0),
+            "frame_dist": abs(offset),
+        }
+
+    def gt_occupancy(self, aabb, resolution):
+        """Binary GT occupancy of the procedural scene on a uniform grid
+        (ground slab z<=0) — for IoU pipeline validation."""
+        xs = np.linspace(aabb[0], aabb[3], int((aabb[3] - aabb[0]) / resolution))
+        ys = np.linspace(aabb[1], aabb[4], int((aabb[4] - aabb[1]) / resolution))
+        zs = np.linspace(aabb[2], aabb[5], int((aabb[5] - aabb[2]) / resolution))
+        W, H, D = len(xs), len(ys), len(zs)
+        z = np.broadcast_to(zs[None, None, :], (H, W, D))
+        return (z <= 0.0)

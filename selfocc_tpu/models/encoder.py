@@ -35,16 +35,19 @@ from .lifter import (fourier_feat_from_meter, normalize_plane_meters,
 
 
 # --------------------------------------------------------------------- utils
-def get_cross_view_ref_points(tpv_h, tpv_w, tpv_z, num_points_in_pillar):
+def get_cross_view_ref_points(tpv_h, tpv_w, tpv_z, num_points_in_pillar,
+                              offset: float = 0.0):
     """Cross-plane 2D reference points for hybrid self-attention.
 
-    Direct port of ``model/encoder/tpvformer/utils.py:5-71`` (numpy, computed
-    once at trace time). Returns (hw+zh+wz, 3, max(P), 2) normalized coords.
+    Direct port of ``model/encoder/tpvformer/utils.py:5-75``: coordinates are
+    ``linspace(offset, n-1+offset, steps) / n`` with offset=0 (the encoder's
+    call site passes no offset). Computed once at trace time.
+    Returns (hw+zh+wz, 3, max(P), 2) normalized coords.
     """
     p0, p1, p2 = num_points_in_pillar
 
     def lin(n, steps):
-        return (np.linspace(0.5, n - 0.5, steps) / n).astype(np.float32)
+        return (np.linspace(offset, n - 1 + offset, steps) / n).astype(np.float32)
 
     # --- queries on the hw plane
     h_r = np.repeat(lin(tpv_h, tpv_h), tpv_w)
@@ -305,12 +308,14 @@ class TPVFormerLayer(nn.Module):
         q = nn.LayerNorm(name="norm1")(q)
         planes = jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
 
-        # ---- per-plane image cross-attention
+        # ---- per-plane image cross-attention; per-plane point counts follow
+        # reference TPVCrossAttention: hw->num_points[2], zh->[1], wz->[0]
+        # (tpvformer/attention/image_cross_attention.py:22-68)
         new_planes = []
         for i, plane in enumerate(planes):
             out = BEVCrossAttention(
                 self.embed_dims, self.num_heads, self.num_levels,
-                self.num_points_cross[i], dropout=self.dropout,
+                self.num_points_cross[2 - i], dropout=self.dropout,
                 query_chunk=self.cross_query_chunk,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],

@@ -81,11 +81,19 @@ class TPVSDFField(nn.Module):
         if self.color_dims > 0 and self.color_dims != n_sh:
             # Adapter from feature channels to SH coefficients; the fork's
             # internal color head is opaque (color_dims=24 with sh_deg=0), so
-            # we learn the projection explicitly.
+            # we learn the projection explicitly. Applied at DECODE time (per
+            # voxel): projection and trilinear interpolation are both linear,
+            # so proj(interp(x)) == interp(proj(x)) — folding it into the
+            # volume shrinks every render-time gather from
+            # 1+color_dims+sem_dims to 1+n_sh+sem_dims channels.
             self.color_proj = nn.Dense(n_sh, name="color_proj")
         else:
             self.color_proj = None
         self.deviation = LearnedVariance(beta_init=self.beta_init)
+
+    @property
+    def n_sh(self) -> int:
+        return 3 * (self.sh_deg + 1) ** 2 if self.color_dims > 0 else 0
 
     @property
     def grid_shape(self):
@@ -114,11 +122,16 @@ class TPVSDFField(nn.Module):
             wz = tpv_wz.astype(jnp.float32).reshape(B, W, D, self.embed_dims)
             wz = wz[:, None]                                   # B,1,W,D,C
             vol = hw + zh + wz                                 # B,H,W,D,C
-            return self._mlp(vol)
-        bev = rep if not isinstance(rep, (list, tuple)) else rep[0]
-        B = bev.shape[0]
-        bev = bev.astype(jnp.float32).reshape(B, H, W, self.embed_dims)
-        out = self._mlp(bev).reshape(B, H, W, D, out_per_voxel)
+            out = self._mlp(vol)
+        else:
+            bev = rep if not isinstance(rep, (list, tuple)) else rep[0]
+            B = bev.shape[0]
+            bev = bev.astype(jnp.float32).reshape(B, H, W, self.embed_dims)
+            out = self._mlp(bev).reshape(B, H, W, D, out_per_voxel)
+        if self.color_proj is not None:
+            sh = self.color_proj(out[..., 1:1 + self.color_dims])
+            out = jnp.concatenate(
+                [out[..., :1], sh, out[..., 1 + self.color_dims:]], axis=-1)
         return out
 
     def query_geo(self, volume, xyz):
@@ -129,15 +142,17 @@ class TPVSDFField(nn.Module):
             the reference asserts at ``neus_head.py:517``).
           xyz: (..., 3) metric points, fp32.
         Returns:
-          dict with 'sdf' (...,), 'color_feat' (..., color_dims),
-          'sem_logits' (..., sem_dims).
+          dict with 'sdf' (...,), 'color_feat' (..., n_sh SH coeffs),
+          'sem_logits' (..., sem_dims). Volume channel layout is
+          [sdf | sh_coeffs | sem_logits] (color projection folded into
+          ``decode``).
         """
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
         vals = trilinear_sample(volume, grid, padding="zeros")
         return {
             "sdf": vals[..., 0],
-            "color_feat": vals[..., 1:1 + self.color_dims],
-            "sem_logits": vals[..., 1 + self.color_dims:],
+            "color_feat": vals[..., 1:1 + self.n_sh],
+            "sem_logits": vals[..., 1 + self.n_sh:],
         }
 
     def sdf(self, volume, xyz):
@@ -177,14 +192,13 @@ class TPVSDFField(nn.Module):
         return jnp.stack(comps, axis=-1)
 
     def color(self, color_feat, viewdirs):
-        """Color features + view directions -> RGB via SH bases
-        (reference ``bev_nerf.py:141-144`` / ``sh_render.py:84-94``)."""
+        """Interpolated SH coefficients + view directions -> RGB
+        (reference ``bev_nerf.py:141-144`` / ``sh_render.py:84-94``).
+        Parameter-free: the coefficient projection already happened in
+        ``decode``."""
         if self.color_dims == 0:
             return jnp.zeros(color_feat.shape[:-1] + (0,), color_feat.dtype)
-        feats = color_feat
-        if self.color_proj is not None:
-            feats = self.color_proj(feats)
-        return sh_lib.sh_render(viewdirs, feats, self.sh_deg, self.sh_act)
+        return sh_lib.sh_render(viewdirs, color_feat, self.sh_deg, self.sh_act)
 
     def inv_s(self):
         return self.deviation()

@@ -73,6 +73,11 @@ class NeuSHead(nn.Module):
     ray_y_dsr_max: Optional[float] = None
 
     render_bkgd: str = "white"
+    # Rays per remat'd chunk in the training forward (0 = single dense pass).
+    # Each chunk is rematerialized (jax.checkpoint) so peak memory scales with
+    # the chunk, not the full 48x100x6-ray batch — the TPU answer to the
+    # reference's eval-only chunking (neus_head.py:329-385).
+    train_ray_chunk: int = 0
 
     embed_dims: int = 96
     color_dims: int = 0
@@ -116,7 +121,7 @@ class NeuSHead(nn.Module):
         return self.field.inv_s()
 
     def render_rays(self, volume, origin, direction, rng=None,
-                    global_iter=None, train=True):
+                    global_iter=None, train=True, inv_s=None):
         """Render a flat batch of rays against a decoded volume.
 
         Args:
@@ -152,7 +157,8 @@ class NeuSHead(nn.Module):
         else:
             grad = self.field.sdf_grad(volume, positions)
 
-        inv_s = self._inv_s(global_iter)
+        if inv_s is None:
+            inv_s = self._inv_s(global_iter)
         alpha = neus.neus_alpha(sdf, grad, unit_dir, segs.deltas, inv_s)
         weights = neus.weights_from_alpha(alpha)             # (R, S)
         acc = weights.sum(axis=-1)                           # (R,)
@@ -248,8 +254,33 @@ class NeuSHead(nn.Module):
             origin[:, :, None, :], (bs, num_cams, num_rays, 3)).reshape(-1, 3)
         dir_flat = direction.reshape(-1, 3)
 
-        r = self.render_rays(volume, origin_flat, dir_flat, rng=rng,
-                             global_iter=global_iter, train=train)
+        R_tot = origin_flat.shape[0]
+        chunk = self.train_ray_chunk
+        if train and chunk and chunk < R_tot:
+            assert rng is not None, "chunked training render needs a PRNG key"
+            inv_s = self._inv_s(global_iter)       # param touch outside scan
+            pad = (-R_tot) % chunk
+            o = jnp.pad(origin_flat, ((0, pad), (0, 0)))
+            d = jnp.pad(dir_flat, ((0, pad), (0, 0)), constant_values=1.0)
+            n_chunks = (R_tot + pad) // chunk
+            o = o.reshape(n_chunks, chunk, 3)
+            d = d.reshape(n_chunks, chunk, 3)
+            keys = jax.random.split(rng, n_chunks)
+
+            @jax.checkpoint
+            def body(args):
+                oc, dc, kc = args
+                return self.render_rays(volume, oc, dc, rng=kc,
+                                        global_iter=global_iter, train=train,
+                                        inv_s=inv_s)
+
+            r = jax.lax.map(body, (o, d, keys))
+            r = jax.tree_util.tree_map(
+                lambda x: x[0] if x.ndim == 1 else
+                x.reshape((n_chunks * chunk,) + x.shape[2:])[:R_tot], r)
+        else:
+            r = self.render_rays(volume, origin_flat, dir_flat, rng=rng,
+                                 global_iter=global_iter, train=train)
 
         def cams(x, extra=()):
             return x.reshape((bs, num_cams, num_rays) + tuple(extra))

@@ -1,0 +1,129 @@
+"""Shared eval-driver machinery: model loading, chunked/sharded rendering.
+
+Implements the reference eval call stacks (SURVEY §3.2-3.4) the TPU way:
+``prepare`` decodes the field once per frame, then the 2.16M-ray render runs
+as jit-compiled fixed-size chunks — optionally sharded across all chips over
+the ray axis (`shard_map`-style NamedSharding), the single biggest TPU win
+vs the reference's serialized 90k-ray loop (~90 min on GPU,
+``eval_depth.py:242`` / README).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.base import Config
+from ..configs.experiments import get_config
+from ..geometry.projection import rays_from_img2lidar
+from ..geometry.ray_sampler import RaySampler
+from ..models.segmentor import TPVSegmentor
+
+
+def load_model_for_eval(config_name: str, ckpt_path: str = "",
+                        seed: int = 42):
+    """Build the model + variables (random init when no checkpoint — enough
+    for pipeline validation; real checkpoints restore via Orbax)."""
+    cfg = get_config(config_name)
+    model = TPVSegmentor(cfg=cfg.model)
+    return cfg, model
+
+
+def init_variables(model, cfg: Config, sample: Dict, seed: int = 42):
+    rng = jax.random.PRNGKey(seed)
+    trans_kw = cfg.model.head.trans_kw
+    return jax.jit(lambda: model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+        sample["imgs"], sample["lidar2img"], sample[trans_kw],
+        rng, 0, True))()
+
+
+def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42):
+    """Random-init then restore params/batch_stats from an Orbax dir when
+    given (reference ``load_from`` path, ``train.py:164-170``)."""
+    variables = init_variables(model, cfg, sample, seed)
+    if ckpt_path:
+        from .train_lib import TrainState, make_optimizer
+        from .checkpoint import load_checkpoint
+        import optax
+        tx, _ = make_optimizer(cfg)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]), tx=tx)
+        restored = load_checkpoint(ckpt_path, state)
+        if restored is not None:
+            state = restored[0]
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+    return variables
+
+
+class ChunkedRenderer:
+    """Renders a full fixed ray grid in jitted chunks against a prepared
+    volume; optionally shards each chunk's ray axis over all devices."""
+
+    def __init__(self, model, variables, chunk: int = 32768,
+                 shard: bool = True):
+        self.model = model
+        self.variables = variables
+        self.chunk = chunk
+        self._render = jax.jit(
+            lambda vol, o, d: model.apply(
+                variables, vol, o, d, method="render_rays"))
+        self.shardings = None
+        if shard and len(jax.devices()) > 1:
+            from ..parallel.mesh import batch_sharded, make_mesh, replicated
+            mesh = make_mesh()
+            self._render = jax.jit(
+                lambda vol, o, d: model.apply(
+                    variables, vol, o, d, method="render_rays"),
+                in_shardings=(replicated(mesh), batch_sharded(mesh),
+                              batch_sharded(mesh)),
+            )
+
+    def prepare(self, imgs, lidar2img, flip=False):
+        fn = jax.jit(lambda v, i, l: self.model.apply(
+            v, i, l, method="prepare"))
+        return fn(self.variables, imgs, lidar2img)
+
+    def render(self, volume, origin, direction) -> Dict[str, np.ndarray]:
+        """origin/direction: (R, 3). Returns host-side dict of per-ray
+        outputs (depth, rgb, acc, sem?)."""
+        R = origin.shape[0]
+        pad = (-R) % self.chunk
+        o = jnp.pad(origin, ((0, pad), (0, 0)))
+        d = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        n_chunks = o.shape[0] // self.chunk
+        outs = []
+        for i in range(n_chunks):
+            r = self._render(volume, o[i * self.chunk:(i + 1) * self.chunk],
+                             d[i * self.chunk:(i + 1) * self.chunk])
+            outs.append({k: r[k] for k in
+                         ("depth", "rgb", "acc") if k in r} |
+                        ({"sem": r["sem"]} if "sem" in r else {}))
+        res = {}
+        for k in outs[0]:
+            res[k] = np.concatenate(
+                [np.asarray(jax.device_get(x[k])) for x in outs])[:R]
+        return res
+
+
+def eval_ray_grid(cfg: Config, num_rays=None):
+    """Fixed eval ray grid (reference ``modify_for_eval`` NUM_RAYS,
+    ``utils/config_tools.py:1-14``)."""
+    num_rays = num_rays or cfg.eval_num_rays
+    sampler = RaySampler(ray_sample_mode="fixed", ray_number=tuple(num_rays),
+                         ray_img_size=tuple(cfg.img_size))
+    return sampler()
+
+
+def rays_for_cams(img2lidar, rays):
+    """(1, N, 4, 4) + (R, 2) -> flat origins/directions (N*R, 3)."""
+    origin, direction = rays_from_img2lidar(img2lidar, rays)
+    _, N, R = direction.shape[:3]
+    origin = jnp.broadcast_to(origin[0, :, None, :], (N, R, 3)).reshape(-1, 3)
+    return origin, direction[0].reshape(-1, 3)

@@ -1,0 +1,58 @@
+"""Run logger: timestamped file + stdout (replaces the MMLogger singleton,
+reference ``train.py:64-68``) and a minimal scalar logger standing in for the
+``WrappedTBWriter`` TensorBoard wrapper (``utils/tb_wrapper.py``) — scalars go
+to a JSONL file the user can plot with any tool; if TensorBoard is available
+it is used additionally.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+from typing import Optional
+
+
+def get_logger(work_dir: Optional[str] = None, name: str = "selfocc") -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if work_dir:
+        os.makedirs(work_dir, exist_ok=True)
+        ts = time.strftime("%Y%m%d_%H%M%S")
+        fh = logging.FileHandler(os.path.join(work_dir, f"{ts}.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger
+
+
+class ScalarWriter:
+    """Append-only JSONL scalar log (+ optional TensorBoard)."""
+
+    def __init__(self, work_dir: str):
+        os.makedirs(work_dir, exist_ok=True)
+        self._f = open(os.path.join(work_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(os.path.join(work_dir, "tb"))
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value, step: int):
+        self._f.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,178 @@
+"""Training driver — TPU-native rewrite of the reference ``train.py``.
+
+CLI surface mirrors the reference (``--py-config``, ``--work-dir``,
+``--resume-from``, ``--seed``, ``--gradient-accumulation``, ``--iter-resume``)
+but the runtime is SPMD: one process drives all local chips through a
+``jax.sharding.Mesh`` (plus ``jax.distributed`` across hosts) instead of
+``torch.multiprocessing.spawn`` + DDP (reference ``train.py:32-45,400-403``).
+
+Data: real nuScenes/KITTI loaders engage when the pkl/data paths exist;
+``--synthetic`` (or missing data) falls back to the procedural scene so the
+full step runs anywhere.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--py-config", required=True)
+    ap.add_argument("--work-dir", default="work_dirs/run")
+    ap.add_argument("--resume-from", default="")
+    ap.add_argument("--load-from", default="")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--gradient-accumulation", type=int, default=1)
+    ap.add_argument("--iter-resume", action="store_true")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="force the synthetic dataset")
+    ap.add_argument("--max-steps", type=int, default=0,
+                    help="optional hard cap on total optimizer steps")
+    ap.add_argument("--epochs", type=int, default=0, help="override epochs")
+    ap.add_argument("--print-freq", type=int, default=50)
+    ap.add_argument("--ckpt-freq-iters", type=int, default=0,
+                    help="save iter-level checkpoint every N iters (0=off)")
+    ap.add_argument("--dp", action="store_true",
+                    help="data-parallel over all local devices")
+    ap.add_argument("--resnet-pth", default="ckpts/resnet50-0676ba61.pth",
+                    help="torchvision resnet50 weights (optional)")
+    return ap.parse_args()
+
+
+def get_dataloader(cfg, synthetic: bool):
+    """Dataset factory: real loaders when data exists, else synthetic."""
+    from selfocc_tpu.data.synthetic import SyntheticDataset
+    if not synthetic:
+        try:
+            from selfocc_tpu.data import build_dataset
+            ds = build_dataset(cfg, phase="train")
+            if ds is not None:
+                return ds
+        except (ImportError, FileNotFoundError):
+            pass
+    return SyntheticDataset(
+        num_cams=cfg.num_cams, input_size=cfg.input_size,
+        img_size=cfg.img_size, num_classes=cfg.num_classes, length=64)
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.parallel.mesh import make_mesh
+    from selfocc_tpu.utils.checkpoint import (load_checkpoint,
+                                              load_torch_resnet50,
+                                              save_checkpoint)
+    from selfocc_tpu.utils.logging_util import ScalarWriter, get_logger
+    from selfocc_tpu.utils.train_lib import (init_train_state,
+                                             make_dp_train_step,
+                                             make_train_step)
+
+    cfg = get_config(args.py_config)
+    logger = get_logger(args.work_dir)
+    writer = ScalarWriter(args.work_dir)
+    logger.info(f"config: {cfg.name}; devices: {jax.devices()}")
+
+    ds = get_dataloader(cfg, args.synthetic)
+    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+
+    model = TPVSegmentor(cfg=cfg.model)
+    rng = jax.random.PRNGKey(args.seed)
+    state = init_train_state(model, cfg, rng, sample,
+                             grad_accumulation=args.gradient_accumulation)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"params: {n_params / 1e6:.2f}M")
+
+    if args.resnet_pth and os.path.exists(args.resnet_pth) and \
+            cfg.model.backbone_type == "resnet50":
+        params, bstats = load_torch_resnet50(
+            state.params, state.batch_stats, args.resnet_pth)
+        state = state.replace(params=params, batch_stats=bstats)
+        logger.info(f"loaded pretrained backbone from {args.resnet_pth}")
+
+    start_epoch, global_iter, last_iter = 0, 0, None
+    ckpt_dir = os.path.join(args.work_dir, "ckpts")
+    resume_dir = args.resume_from or ckpt_dir
+    restored = load_checkpoint(resume_dir, state)
+    if restored is not None:
+        state, start_epoch, global_iter, last_iter = restored
+        logger.info(f"resumed from {resume_dir}: epoch {start_epoch}, "
+                    f"iter {global_iter}")
+
+    n_dev = len(jax.devices())
+    use_dp = args.dp and n_dev > 1
+    if use_dp:
+        mesh = make_mesh()
+        step_fn = make_dp_train_step(model, cfg, mesh)
+        logger.info(f"data-parallel over {n_dev} devices")
+    else:
+        step_fn = make_train_step(model, cfg)
+
+    max_epochs = args.epochs or cfg.max_epochs
+    steps_done = 0
+    t_data = t_step = 0.0
+    for epoch in range(start_epoch, max_epochs):
+        order = np.random.RandomState(args.seed + epoch).permutation(len(ds))
+        start_i = 0
+        if last_iter is not None and epoch == start_epoch:
+            start_i = last_iter % max(len(ds), 1)  # sampler skip on resume
+            last_iter = None
+        i = start_i
+        while i < len(order):
+            t0 = time.time()
+            if use_dp:
+                idxs = [order[(i + k) % len(order)] for k in range(n_dev)]
+                batches = [ds[int(j)] for j in idxs]
+                batch = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
+                         for k in batch_keys(batches[0])}
+                rngs = jax.random.split(
+                    jax.random.fold_in(rng, global_iter), n_dev)
+                i += n_dev
+            else:
+                batch = {k: jnp.asarray(v) for k, v in ds[int(order[i])].items()}
+                rngs = jax.random.fold_in(rng, global_iter)
+                i += 1
+            t_data += time.time() - t0
+
+            t0 = time.time()
+            state, metrics = step_fn(state, batch, rngs)
+            if global_iter % args.print_freq == 0:
+                metrics = jax.device_get(metrics)
+                t_step += time.time() - t0
+                lr_msg = ", ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items()))
+                logger.info(f"[e{epoch} i{global_iter}] {lr_msg} "
+                            f"(data {t_data:.1f}s step {t_step:.1f}s)")
+                for k, v in metrics.items():
+                    writer.add_scalar(f"loss/{k}", float(v), global_iter)
+                t_data = t_step = 0.0
+            else:
+                t_step += time.time() - t0
+            global_iter += 1
+            steps_done += 1
+            if args.ckpt_freq_iters and global_iter % args.ckpt_freq_iters == 0:
+                save_checkpoint(ckpt_dir, state, epoch, global_iter,
+                                last_iter=i if args.iter_resume else None)
+            if args.max_steps and steps_done >= args.max_steps:
+                break
+        save_checkpoint(ckpt_dir, state, epoch + 1, global_iter)
+        logger.info(f"epoch {epoch} done; checkpoint saved at {ckpt_dir}")
+        if args.max_steps and steps_done >= args.max_steps:
+            break
+    writer.close()
+    logger.info("training complete")
+
+
+def batch_keys(b):
+    return list(b.keys())
+
+
+if __name__ == "__main__":
+    main()
