@@ -1,0 +1,88 @@
+"""Dataset wrapper: augmentation pipeline + canonical array batch assembly.
+
+Behavioral rewrite of ``dataset/dataset_wrapper_temporal.py``: PhotoMetric ->
+Normalize(ImageNet) -> RandomScale -> Pad(div 32) [+ RandomFlip] on the input
+images; supervision images divided by 256 (reference ``:166-170``); instead of
+the reference's 9-tuple + dict-metas collate, the output is one flat dict of
+numpy arrays (the framework's canonical batch layout, NHWC, bs=1 leading) —
+directly consumable by the jitted train/eval steps.
+"""
+from __future__ import annotations
+
+from copy import deepcopy
+from typing import Dict, Optional
+
+import numpy as np
+
+from .transforms import (IMG_NORM, NormalizeMultiviewImage, PadMultiViewImage,
+                         PhotoMetricDistortionMultiViewImage, RandomFlip,
+                         RandomScaleImageMultiViewImage, forward_aug)
+
+
+class TemporalDatasetWrapper:
+    """Wraps a raw dataset emitting ``([input, curr, prev, next] imgs, metas)``
+    into canonical batches."""
+
+    def __init__(self, in_dataset, phase="train", scale_rate=1.0,
+                 photometric_aug=None, img_norm_cfg=None, use_flip=False,
+                 ref_focal_len=None, pad_img_size=None, random_scale=None,
+                 pad_scale_rate=None, sem_from=None):
+        self.dataset = in_dataset
+        self.scale_rate = scale_rate
+        norm = img_norm_cfg or IMG_NORM
+        photometric = PhotoMetricDistortionMultiViewImage(
+            **(photometric_aug or {}))
+        train_t = [photometric, NormalizeMultiviewImage(**norm),
+                   PadMultiViewImage(size_divisor=32, size=pad_img_size)]
+        val_t = [NormalizeMultiviewImage(**norm),
+                 PadMultiViewImage(size_divisor=32, size=pad_img_size)]
+        if scale_rate != 1 or ref_focal_len is not None or \
+                random_scale is not None or pad_scale_rate is not None:
+            train_t.insert(2, RandomScaleImageMultiViewImage(
+                [scale_rate], ref_focal_len, random_scale, pad_scale_rate))
+            val_t.insert(1, RandomScaleImageMultiViewImage(
+                [scale_rate], ref_focal_len, pad_scale_rate=pad_scale_rate))
+        if use_flip:
+            train_t.append(RandomFlip(0.5))
+        self.transforms = train_t if phase == "train" else val_t
+        self.sem_from = sem_from  # optional dir of precomputed 2D sem maps
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        imgs, metas = self.dataset[index]
+        input_imgs, curr_imgs, prev_imgs, next_imgs = imgs
+        color_imgs = deepcopy(curr_imgs)
+
+        input_imgs, aug = forward_aug(input_imgs, metas, self.transforms)
+
+        def stack(ims):
+            return np.stack(ims).astype(np.float32)[None]  # 1, N, H, W, 3
+
+        batch = {
+            "imgs": stack(input_imgs),
+            "curr_imgs": stack(curr_imgs) / 256.0,
+            "prev_imgs": stack(prev_imgs) / 256.0,
+            "next_imgs": stack(next_imgs) / 256.0,
+            "color_imgs": stack(color_imgs) / 256.0,
+            "lidar2img": metas["lidar2img"][None].astype(np.float32),
+            "img2lidar": metas["img2lidar"][None].astype(np.float32),
+            "temImg2lidar": metas["temImg2lidar"][None].astype(np.float32),
+            "img2prevImg": metas["img2prevImg"][None].astype(np.float32),
+            "img2nextImg": metas["img2nextImg"][None].astype(np.float32),
+            "ego2lidar": metas["ego2lidar"][None].astype(np.float32),
+            "flip": np.asarray(aug.get("flip", False)),
+        }
+        if "focal_ratios_x" in aug:
+            batch["focal_ratios_x"] = np.asarray(aug["focal_ratios_x"],
+                                                 np.float32)
+            batch["focal_ratios_y"] = np.asarray(aug["focal_ratios_y"],
+                                                 np.float32)
+        if "depth_loc" in metas:
+            batch["depth_loc"] = metas["depth_loc"].astype(np.float32)
+            batch["depth_gt"] = metas["depth_gt"].astype(np.float32)
+            batch["depth_mask"] = metas["depth_mask"]
+        if "sem" in metas:
+            batch["sem_gt"] = np.asarray(metas["sem"])[None]
+        return batch

@@ -19,6 +19,7 @@ def get_logger(work_dir: Optional[str] = None, name: str = "selfocc") -> logging
     if logger.handlers:
         return logger
     logger.setLevel(logging.INFO)
+    logger.propagate = False
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
