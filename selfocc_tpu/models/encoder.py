@@ -277,7 +277,13 @@ class FFN(nn.Module):
 class TPVFormerLayer(nn.Module):
     """One encoder layer, operation order
     ``self_attn -> norm -> cross_attn -> norm -> ffn -> norm``
-    (reference ``tpvformer_encoder_layer.py:123-219``, post-norm)."""
+    (reference ``tpvformer_encoder_layer.py:123-219``, post-norm).
+
+    Written scan-compatible: the plane tuple is the carry, all other tensors
+    broadcast, static shapes ride as attributes — ``nn.scan`` stacks the four
+    layers' params and XLA compiles the body ONCE (the reference's
+    ``ModuleList`` analog would quadruple compile time).
+    """
 
     embed_dims: int
     num_heads: int
@@ -285,14 +291,20 @@ class TPVFormerLayer(nn.Module):
     num_points_cross: Sequence[int]
     num_points_self: int
     feedforward_channels: int
+    img_spatial_shapes: Sequence
+    tpv_size: Sequence[int]
     dropout: float = 0.1
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    deterministic: bool = True
 
     @nn.compact
-    def __call__(self, planes, value, tpv_pos, cross_view_ref, ref_cams_list,
-                 masks_list, img_spatial_shapes, tpv_size, deterministic=True):
-        H, W, D = tpv_size
+    def __call__(self, carry, value, tpv_pos, cross_view_ref, ref_cams_list,
+                 masks_list):
+        planes = list(carry)
+        img_spatial_shapes = tuple(self.img_spatial_shapes)
+        deterministic = self.deterministic
+        H, W, D = self.tpv_size
         sizes = [H * W, D * H, W * D]
         plane_shapes = ((H, W), (D, H), (W, D))
 
@@ -313,10 +325,16 @@ class TPVFormerLayer(nn.Module):
         # (tpvformer/attention/image_cross_attention.py:22-68)
         new_planes = []
         for i, plane in enumerate(planes):
+            n_pts = self.num_points_cross[2 - i]
+            # scale the query chunk inversely with the point count so the
+            # per-chunk gather transient (chunk * P * H * D) stays bounded
+            chunk = self.cross_query_chunk
+            if chunk:
+                chunk = max(256, chunk * min(self.num_points_cross) // n_pts)
             out = BEVCrossAttention(
                 self.embed_dims, self.num_heads, self.num_levels,
-                self.num_points_cross[2 - i], dropout=self.dropout,
-                query_chunk=self.cross_query_chunk,
+                n_pts, dropout=self.dropout,
+                query_chunk=chunk,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -329,7 +347,7 @@ class TPVFormerLayer(nn.Module):
                 ffn_drop=self.dropout, name="ffn")(
                     q, deterministic=deterministic)
         q = nn.LayerNorm(name="norm3")(q)
-        return jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+        return tuple(jnp.split(q, np.cumsum(sizes)[:-1], axis=1)), None
 
 
 class TPVPositionalEncoding(nn.Module):
@@ -357,7 +375,10 @@ class TPVPositionalEncoding(nn.Module):
 
 
 class TPVFormerEncoder(nn.Module):
-    """The full encoder (reference ``tpvformer_encoder.py:20-290``)."""
+    """The full encoder (reference ``tpvformer_encoder.py:20-290``).
+
+    The N identical layers run under ``nn.scan`` (params stacked on a leading
+    layer axis) so the layer body is traced/compiled once."""
 
     mapping_args: Dict[str, Any]
     embed_dims: int = 96
@@ -374,35 +395,12 @@ class TPVFormerEncoder(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
 
-    def setup(self):
-        self.mapping = make_mapping(**self.mapping_args)
-        self.positional_encoding = TPVPositionalEncoding(
-            num_freqs=tuple(self.pos_num_freqs), embed_dims=self.embed_dims,
-            tot_range=tuple(self.pc_range), mapping_args=self.mapping_args)
-        self.level_embeds = self.param(
-            "level_embeds", nn.initializers.normal(1.0),
-            (self.num_feature_levels, self.embed_dims))
-        self.cams_embeds = self.param(
-            "cams_embeds", nn.initializers.normal(1.0),
-            (self.num_cams, self.embed_dims))
-        self.layers = [
-            TPVFormerLayer(
-                embed_dims=self.embed_dims, num_heads=self.num_heads,
-                num_levels=self.num_feature_levels,
-                num_points_cross=tuple(self.num_points_cross),
-                num_points_self=self.num_points_self,
-                feedforward_channels=self.feedforward_channels,
-                dropout=self.dropout,
-                self_query_chunk=self.self_query_chunk,
-                cross_query_chunk=self.cross_query_chunk,
-                name=f"layer_{i}")
-            for i in range(self.num_layers)]
-
     @property
     def tpv_size(self):
-        m = self.mapping
+        m = make_mapping(**self.mapping_args)
         return (m.size_h, m.size_w, m.size_d)
 
+    @nn.compact
     def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
                  focal_ratios_x=None, focal_ratios_y=None,
                  deterministic=True):
@@ -414,10 +412,22 @@ class TPVFormerEncoder(nn.Module):
         """
         B = ms_img_feats[0].shape[0]
         assert B == 1, "bs=1 pipeline (see heads.py)"
+        mapping = make_mapping(**self.mapping_args)
         H, W, D = self.tpv_size
 
         # positional embeds
-        tpv_pos = [p[None] for p in self.positional_encoding()]
+        pos_enc = TPVPositionalEncoding(
+            num_freqs=tuple(self.pos_num_freqs), embed_dims=self.embed_dims,
+            tot_range=tuple(self.pc_range), mapping_args=self.mapping_args,
+            name="positional_encoding")
+        tpv_pos = tuple(p[None] for p in pos_enc())
+
+        level_embeds = self.param(
+            "level_embeds", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.embed_dims))
+        cams_embeds = self.param(
+            "cams_embeds", nn.initializers.normal(1.0),
+            (self.num_cams, self.embed_dims))
 
         # flatten pyramid + camera/level embeds (tpvformer_encoder.py:261-277)
         feats = []
@@ -425,15 +435,15 @@ class TPVFormerEncoder(nn.Module):
         for lvl, feat in enumerate(ms_img_feats):
             _, N, h, w, C = feat.shape
             f = feat.reshape(N, h * w, C)
-            f = f + self.cams_embeds[:, None, :]
-            f = f + self.level_embeds[lvl][None, None, :]
+            f = f + cams_embeds[:, None, :]
+            f = f + level_embeds[lvl][None, None, :]
             feats.append(f)
             img_spatial_shapes.append((h, w))
         value = jnp.concatenate(feats, axis=1)          # (N, L, C)
         img_spatial_shapes = tuple(img_spatial_shapes)
 
         # reference points: 3D pillars projected into the cameras (fp32)
-        refs = tpv_ref_3d(self.mapping, tuple(self.num_points_cross))
+        refs = tpv_ref_3d(mapping, tuple(self.num_points_cross))
         ref_cams_list, masks_list = [], []
         for ref in refs:
             rc, m = point_sampling(ref, lidar2img, img_shape,
@@ -445,9 +455,24 @@ class TPVFormerEncoder(nn.Module):
         cross_view_ref = get_cross_view_ref_points(
             H, W, D, (self.num_points_self,) * 3)
 
-        planes = list(representation)
-        for layer in self.layers:
-            planes = layer(planes, value, tpv_pos, cross_view_ref,
-                           ref_cams_list, masks_list, img_spatial_shapes,
-                           (H, W, D), deterministic=deterministic)
-        return {"representation": list(planes)}
+        ScanLayers = nn.scan(
+            TPVFormerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=self.num_layers)
+        layers = ScanLayers(
+            embed_dims=self.embed_dims, num_heads=self.num_heads,
+            num_levels=self.num_feature_levels,
+            num_points_cross=tuple(self.num_points_cross),
+            num_points_self=self.num_points_self,
+            feedforward_channels=self.feedforward_channels,
+            img_spatial_shapes=img_spatial_shapes,
+            tpv_size=(H, W, D), dropout=self.dropout,
+            self_query_chunk=self.self_query_chunk,
+            cross_query_chunk=self.cross_query_chunk,
+            deterministic=deterministic, name="layers")
+        carry, _ = layers(tuple(representation), value, tpv_pos,
+                          cross_view_ref, tuple(ref_cams_list),
+                          tuple(masks_list))
+        return {"representation": list(carry)}

@@ -28,23 +28,54 @@ import jax.numpy as jnp
 from .interp import bilinear_sample
 
 
+def _bilinear_gather_cf(v_flat, xy, h, w):
+    """Channel-first bilinear gather: v_flat (C, h*w), xy (Q, P, 2) fractional
+    pixel coords -> (C, Q, P), zeros padding.
+
+    TPU layout note: the payload axis C (= head_dim, typically 16) must NOT be
+    the trailing axis — the (8, 128) tile would pad 16 lanes to 128 (8x HBM
+    blowup, observed as 5.3 GB per-corner temps). Gathering along a flattened
+    Q*P trailing axis keeps padding ~1x.
+    """
+    Q, P = xy.shape[0], xy.shape[1]
+    x, y = xy[..., 0].reshape(-1), xy[..., 1].reshape(-1)   # (QP,)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx, wy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+
+    out = None
+    for yi, wyi in ((y0i, 1.0 - wy), (y0i + 1, wy)):
+        for xi, wxi in ((x0i, 1.0 - wx), (x0i + 1, wx)):
+            valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            wgt = (wyi * wxi * valid)[None, :]              # (1, QP)
+            lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            gathered = jnp.take(v_flat, lin, axis=1)        # (C, QP)
+            term = wgt * gathered
+            out = term if out is None else out + term
+    return out.reshape(-1, Q, P)
+
+
 def _msda_dense(value_levels, sampling_locations, attention_weights,
                 spatial_shapes):
     """Unchunked core. value_levels: list of (B, H, h, w, D)."""
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
 
-    out = jnp.zeros((B, Q, H, D), dtype=value_levels[0].dtype)
+    out = jnp.zeros((B * H, Q, D), dtype=value_levels[0].dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
-        v = value_levels[lvl].reshape(B * H, h, w, D)
+        # (B*H, D, h*w): payload channel-first, gather axis last
+        v = value_levels[lvl].reshape(B * H, h * w, D).swapaxes(1, 2)
         loc = sampling_locations[:, :, :, lvl]            # B,Q,H,P,2
         xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
         xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
-        samp = jax.vmap(lambda im, c: bilinear_sample(im, c, "zeros"))(v, xy)
-        samp = jnp.moveaxis(samp.reshape(B, H, Q, P, D), 1, 2)  # B,Q,H,P,D
-        w_l = attention_weights[:, :, :, lvl]             # B,Q,H,P
-        out = out + jnp.einsum('bqhpd,bqhp->bqhd', samp, w_l)
-    return out
+        samp = jax.vmap(
+            lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
+        # samp: (B*H, D, Q, P); weights: (B, Q, H, P) -> (B*H, Q, P)
+        w_l = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)
+        w_l = w_l.reshape(B * H, Q, P)
+        out = out + jnp.einsum('bdqp,bqp->bqd', samp, w_l)
+    return jnp.moveaxis(out.reshape(B, H, Q, D), 1, 2)    # B,Q,H,D
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
