@@ -350,6 +350,182 @@ class TPVFormerLayer(nn.Module):
         return tuple(jnp.split(q, np.cumsum(sizes)[:-1], axis=1)), None
 
 
+class DeformableSelfAttention(nn.Module):
+    """Standard single-plane MSDA self-attention (mmcv
+    ``MultiScaleDeformableAttention`` as used for the BEVFormer variant's
+    self-attn, reference ``config/nuscenes/nuscenes_occ_bev.py:219-242``):
+    one shared reference point per query, point-index-scaled offset init."""
+
+    embed_dims: int
+    num_heads: int
+    num_points: int
+    dropout: float = 0.1
+    query_chunk: int = 0
+
+    @nn.compact
+    def __call__(self, query, query_pos, ref_2d, spatial_shape,
+                 identity=None, deterministic=True):
+        # query: (B, Q, C); ref_2d: (Q, 2) normalized; spatial_shape: (h, w)
+        B, Q, C = query.shape
+        H = self.num_heads
+        D = C // H
+        if identity is None:
+            identity = query
+        value = nn.Dense(C, kernel_init=_xavier_uniform(),
+                         name="value_proj")(query).reshape(B, Q, H, D)
+        q = query + query_pos
+        offsets, attn = DeformHeads(
+            self.embed_dims, H, 1, self.num_points,
+            scale_offset_bias=True, name="heads")(q)
+        h, w = spatial_shape
+        normalizer = jnp.asarray([[w, h]], jnp.float32)
+        loc = ref_2d[None, :, None, None, None, :] + \
+            offsets / normalizer[None, None, None, :, None, :]
+        out = ms_deform_attn(value, (spatial_shape,), loc, attn,
+                             query_chunk=self.query_chunk)
+        out = nn.Dense(C, kernel_init=_xavier_uniform(),
+                       name="output_proj")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out + identity
+
+
+class BEVFormerLayer(nn.Module):
+    """Single-plane encoder layer (reference
+    ``bevformer/bevformer_encoder_layer.py``), scan-compatible like
+    :class:`TPVFormerLayer`."""
+
+    embed_dims: int
+    num_heads: int
+    num_levels: int
+    num_points_cross: int
+    num_points_self: int
+    feedforward_channels: int
+    img_spatial_shapes: Sequence
+    bev_size: Sequence[int]
+    dropout: float = 0.1
+    self_query_chunk: int = 0
+    cross_query_chunk: int = 0
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, value, bev_pos, ref_2d, ref_cams, masks):
+        q = carry
+        H, W = self.bev_size
+        q = DeformableSelfAttention(
+            self.embed_dims, self.num_heads, self.num_points_self,
+            dropout=self.dropout, query_chunk=self.self_query_chunk,
+            name="self_attn")(q, bev_pos, ref_2d, (H, W),
+                              deterministic=self.deterministic)
+        q = nn.LayerNorm(name="norm1")(q)
+        q = BEVCrossAttention(
+            self.embed_dims, self.num_heads, self.num_levels,
+            self.num_points_cross, dropout=self.dropout,
+            query_chunk=self.cross_query_chunk, name="cross_attn")(
+                q, value, ref_cams, masks, tuple(self.img_spatial_shapes),
+                deterministic=self.deterministic)
+        q = nn.LayerNorm(name="norm2")(q)
+        q = FFN(self.embed_dims, self.feedforward_channels,
+                ffn_drop=self.dropout, name="ffn")(
+                    q, deterministic=self.deterministic)
+        return nn.LayerNorm(name="norm3")(q), None
+
+
+class BEVFormerEncoder(nn.Module):
+    """Single-plane BEVFormer encoder (reference
+    ``bevformer/bevformer_encoder.py:18-224``), used by the
+    ``nuscenes_occ_bev`` config with a BEVQueryLifter and a tpv=False head."""
+
+    mapping_args: Dict[str, Any]
+    embed_dims: int = 96
+    num_heads: int = 6
+    num_cams: int = 6
+    num_feature_levels: int = 4
+    num_points_cross: int = 8
+    num_points_self: int = 12
+    num_layers: int = 4
+    feedforward_channels: int = 192
+    dropout: float = 0.1
+    pos_num_freqs: Sequence[int] = (12, 12, 12)
+    pc_range: Sequence[float] = (-40., -40., -1., 40., 40., 5.4)
+    self_query_chunk: int = 0
+    cross_query_chunk: int = 0
+
+    @nn.compact
+    def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
+                 focal_ratios_x=None, focal_ratios_y=None,
+                 deterministic=True):
+        B = ms_img_feats[0].shape[0]
+        assert B == 1
+        mapping = make_mapping(**self.mapping_args)
+        H, W, D = mapping.size_h, mapping.size_w, mapping.size_d
+
+        # BEV positional encoding: fourier features of normalized plane meters
+        # (reference bevformer_pos_embed.py:7-35)
+        from .lifter import fourier_feat_from_meter, tpv_plane_meters
+        hw_meter, _, _ = tpv_plane_meters(mapping)
+        x0, y0, _, x1, y1, _ = self.pc_range
+        hw = jnp.stack([(hw_meter[..., 0] - x0) / (x1 - x0),
+                        (hw_meter[..., 1] - y0) / (y1 - y0)], axis=-1)
+        feat = fourier_feat_from_meter(self.pos_num_freqs[0], hw)
+        bev_pos = nn.Dense(self.embed_dims, name="position_layer")(feat)[None]
+
+        level_embeds = self.param(
+            "level_embeds", nn.initializers.normal(1.0),
+            (self.num_feature_levels, self.embed_dims))
+        cams_embeds = self.param(
+            "cams_embeds", nn.initializers.normal(1.0),
+            (self.num_cams, self.embed_dims))
+
+        feats, img_spatial_shapes = [], []
+        for lvl, f in enumerate(ms_img_feats):
+            _, N, h, w, C = f.shape
+            x = f.reshape(N, h * w, C) + cams_embeds[:, None, :] \
+                + level_embeds[lvl][None, None, :]
+            feats.append(x)
+            img_spatial_shapes.append((h, w))
+        value = jnp.concatenate(feats, axis=1)
+        img_spatial_shapes = tuple(img_spatial_shapes)
+
+        # ref_3d pillars over the BEV plane (bevformer_encoder.py:104-112)
+        ah = np.arange(H, dtype=np.float32)
+        aw = np.arange(W, dtype=np.float32)
+        ud = np.linspace(0, D - 1, self.num_points_cross, dtype=np.float32)
+        grid = np.stack(np.broadcast_arrays(
+            ah[:, None, None], aw[None, :, None], ud[None, None, :]), -1)
+        ref_3d = mapping.grid2meter(jnp.asarray(grid))
+        ref_3d = ref_3d.reshape(H * W, self.num_points_cross, 3).swapaxes(0, 1)
+        rc, m = point_sampling(ref_3d, lidar2img, img_shape,
+                               focal_ratios_x, focal_ratios_y)
+        ref_cams, masks = rc[:, 0], m[:, 0]
+
+        # normalized 2D self-attn reference points (bevformer_encoder.py:114-118)
+        gh = np.repeat(ah / max(H - 1, 1), W)
+        gw = np.tile(aw / max(W - 1, 1), H)
+        # mmcv sampling locations are (x, y) normalized by (w, h)
+        ref_2d = jnp.asarray(np.stack([gw, gh], -1), jnp.float32)
+
+        ScanLayers = nn.scan(
+            BEVFormerLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=nn.broadcast,
+            length=self.num_layers)
+        layers = ScanLayers(
+            embed_dims=self.embed_dims, num_heads=self.num_heads,
+            num_levels=self.num_feature_levels,
+            num_points_cross=self.num_points_cross,
+            num_points_self=self.num_points_self,
+            feedforward_channels=self.feedforward_channels,
+            img_spatial_shapes=img_spatial_shapes, bev_size=(H, W),
+            dropout=self.dropout, self_query_chunk=self.self_query_chunk,
+            cross_query_chunk=self.cross_query_chunk,
+            deterministic=deterministic, name="layers")
+        rep = representation if not isinstance(representation, (list, tuple)) \
+            else representation[0]
+        carry, _ = layers(rep, value, bev_pos, ref_2d, ref_cams, masks)
+        return {"representation": carry}
+
+
 class TPVPositionalEncoding(nn.Module):
     """Fourier features of normalized plane meters -> per-plane Linear
     (reference ``tpvformer_pos_embed.py:17-58``)."""

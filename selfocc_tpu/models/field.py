@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..geometry import sh as sh_lib
 from ..geometry.mappings import make_mapping
-from ..ops.interp import trilinear_sample
+from ..ops.interp import trilinear_sample_cf
 
 
 class LearnedVariance(nn.Module):
@@ -106,7 +106,9 @@ class TPVSDFField(nn.Module):
         return x
 
     def decode(self, rep):
-        """Plane features -> dense (B, H, W, D, C_out) volume, fp32.
+        """Plane features -> dense (B, C_out, H, W, D) volume, fp32,
+        **channel-first** so every render-time gather keeps the big spatial
+        axis on the TPU lane dimension (see ops/interp.trilinear_sample_cf).
 
         TPV: broadcast-sum of the three planes (reference bev_nerf.py:81-93).
         BEV: per-cell MLP emits all D depth slices (bev_nerf.py:76-80).
@@ -132,14 +134,14 @@ class TPVSDFField(nn.Module):
             sh = self.color_proj(out[..., 1:1 + self.color_dims])
             out = jnp.concatenate(
                 [out[..., :1], sh, out[..., 1 + self.color_dims:]], axis=-1)
-        return out
+        return jnp.moveaxis(out, -1, 1)  # (B, C, H, W, D)
 
     def query_geo(self, volume, xyz):
         """Query the decoded volume at metric points.
 
         Args:
-          volume: (H, W, D, C_out) — single-sample volume (bs=1 pipeline, as
-            the reference asserts at ``neus_head.py:517``).
+          volume: (C_out, H, W, D) — single-sample channel-first volume
+            (bs=1 pipeline, reference ``neus_head.py:517``).
           xyz: (..., 3) metric points, fp32.
         Returns:
           dict with 'sdf' (...,), 'color_feat' (..., n_sh SH coeffs),
@@ -148,7 +150,7 @@ class TPVSDFField(nn.Module):
           ``decode``).
         """
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
-        vals = trilinear_sample(volume, grid, padding="zeros")
+        vals = trilinear_sample_cf(volume, grid, padding="zeros")
         return {
             "sdf": vals[..., 0],
             "color_feat": vals[..., 1:1 + self.n_sh],
@@ -159,7 +161,7 @@ class TPVSDFField(nn.Module):
         """SDF-only query — interpolates just channel 0 so gradient taps don't
         gather the full channel stack."""
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
-        return trilinear_sample(volume[..., :1], grid, padding="zeros")[..., 0]
+        return trilinear_sample_cf(volume[:1], grid, padding="zeros")[..., 0]
 
     def sdf_grad(self, volume, xyz):
         """Analytic spatial SDF gradient (autodiff through the trilinear

@@ -53,6 +53,23 @@ class TPVSegmentor(nn.Module):
         else:
             raise ValueError(c.lifter_type)
         e = c.encoder
+        if c.use_bev_encoder:
+            from .encoder import BEVFormerEncoder
+            self.encoder = BEVFormerEncoder(
+                mapping_args=e.mapping_args, embed_dims=e.embed_dims,
+                num_heads=e.num_heads, num_cams=e.num_cams,
+                num_feature_levels=e.num_feature_levels,
+                num_points_cross=min(e.num_points_cross),
+                num_points_self=e.num_points_self, num_layers=e.num_layers,
+                feedforward_channels=e.feedforward_channels,
+                dropout=e.dropout, pos_num_freqs=tuple(e.pos_num_freqs),
+                pc_range=tuple(e.pc_range),
+                self_query_chunk=e.self_query_chunk,
+                cross_query_chunk=e.cross_query_chunk,
+                name="encoder")
+            h = c.head
+            self._build_head(h)
+            return
         self.encoder = TPVFormerEncoder(
             mapping_args=e.mapping_args, embed_dims=e.embed_dims,
             num_heads=e.num_heads, num_cams=e.num_cams,
@@ -65,7 +82,9 @@ class TPVSegmentor(nn.Module):
             self_query_chunk=e.self_query_chunk,
             cross_query_chunk=e.cross_query_chunk,
             name="encoder")
-        h = c.head
+        self._build_head(c.head)
+
+    def _build_head(self, h):
         self.head = NeuSHead(
             roi_aabb=tuple(h.roi_aabb), mapping_args=h.mapping_args,
             resolution=h.resolution, near_plane=h.near_plane,

@@ -115,6 +115,46 @@ def trilinear_sample(vol, hwd, padding: str = "zeros"):
     return out
 
 
+def trilinear_sample_cf(vol_cf, hwd, padding: str = "zeros"):
+    """Channel-first trilinear sampling: vol (C, H, W, D), hwd (..., 3)
+    fractional indices -> (..., C).
+
+    TPU-layout twin of :func:`trilinear_sample`: gathers run along a flattened
+    spatial axis with the (large) point count trailing, so the (8, 128) tile
+    padding stays ~1x instead of padding the small channel dim to 128 lanes
+    (see ops/msda.py `_bilinear_gather_cf` for the observed 8x blowup).
+    """
+    C, H, W, D = vol_cf.shape
+    pts_shape = hwd.shape[:-1]
+    hwd = hwd.reshape(-1, 3)
+    h, w, d = hwd[:, 0], hwd[:, 1], hwd[:, 2]
+    if padding == "border":
+        h = jnp.clip(h, 0.0, H - 1.0)
+        w = jnp.clip(w, 0.0, W - 1.0)
+        d = jnp.clip(d, 0.0, D - 1.0)
+    h0, w0, d0 = jnp.floor(h), jnp.floor(w), jnp.floor(d)
+    wh, ww, wd = h - h0, w - w0, d - d0
+    h0i, w0i, d0i = (h0.astype(jnp.int32), w0.astype(jnp.int32),
+                     d0.astype(jnp.int32))
+
+    v_flat = vol_cf.reshape(C, H * W * D)
+    out = None
+    for hi, whi in ((h0i, 1.0 - wh), (h0i + 1, wh)):
+        for wi, wwi in ((w0i, 1.0 - ww), (w0i + 1, ww)):
+            for di, wdi in ((d0i, 1.0 - wd), (d0i + 1, wd)):
+                if padding == "zeros":
+                    valid = ((hi >= 0) & (hi <= H - 1) & (wi >= 0) &
+                             (wi <= W - 1) & (di >= 0) & (di <= D - 1))
+                    wgt = whi * wwi * wdi * valid
+                else:
+                    wgt = whi * wwi * wdi
+                lin = (jnp.clip(hi, 0, H - 1) * W
+                       + jnp.clip(wi, 0, W - 1)) * D + jnp.clip(di, 0, D - 1)
+                term = wgt[None, :] * jnp.take(v_flat, lin, axis=1)  # (C, N)
+                out = term if out is None else out + term
+    return out.T.reshape(*pts_shape, C)
+
+
 def grid_sample_2d(imgs, xy_norm, padding: str = "zeros"):
     """Batched drop-in for torch ``F.grid_sample`` on 2D with align_corners=True.
 

@@ -95,3 +95,18 @@ def test_ssim_vs_torch():
                       torch.from_numpy(y).permute(0, 3, 1, 2))
     ref = ref.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_trilinear_cf_matches_channel_last():
+    rng = np.random.RandomState(5)
+    vol = rng.randn(5, 6, 7, 4).astype(np.float32)   # H,W,D,C
+    hwd = rng.uniform(-1, 8, size=(60, 3)).astype(np.float32)
+    from selfocc_tpu.ops.interp import trilinear_sample_cf
+    ref = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(hwd), "zeros"))
+    cf = np.asarray(trilinear_sample_cf(
+        jnp.asarray(np.moveaxis(vol, -1, 0)), jnp.asarray(hwd), "zeros"))
+    np.testing.assert_allclose(cf, ref, atol=1e-5)
+    ref_b = np.asarray(trilinear_sample(jnp.asarray(vol), jnp.asarray(hwd), "border"))
+    cf_b = np.asarray(trilinear_sample_cf(
+        jnp.asarray(np.moveaxis(vol, -1, 0)), jnp.asarray(hwd), "border"))
+    np.testing.assert_allclose(cf_b, ref_b, atol=1e-5)

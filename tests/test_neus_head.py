@@ -103,8 +103,8 @@ def test_planar_sdf_gradient_and_eikonal():
         jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
         jnp.arange(D, dtype=jnp.float32), indexing='ij'), axis=-1)
     xyz = field.mapping.grid2meter(grid)
-    vol = jnp.zeros((H, W, D, 8))
-    vol = vol.at[..., 0].set(xyz[..., 2] - 1.0)
+    vol = jnp.zeros((8, H, W, D))           # channel-first volume
+    vol = vol.at[0].set(xyz[..., 2] - 1.0)
 
     pts = jnp.asarray(np.random.RandomState(0).uniform(
         -8, 8, size=(50, 3)).astype(np.float32) * np.array([1, 1, 0.2]) +

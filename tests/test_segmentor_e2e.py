@@ -100,3 +100,29 @@ def test_prepare_and_chunked_render_matches_direct(setup):
         np.concatenate([np.asarray(a['depth']), np.asarray(b['depth'])]),
         atol=1e-5)
     assert np.isfinite(np.asarray(full['depth'])).all()
+
+
+def test_bev_variant_forward():
+    """BEVFormer single-plane encoder + tpv=False head (nuscenes_occ_bev
+    analog) runs end-to-end."""
+    import dataclasses
+    cfg = tiny_config(sem=False, backbone='tiny')
+    model_cfg = dataclasses.replace(
+        cfg.model, lifter_type='BEVQueryLifter', use_bev_encoder=True,
+        head=dataclasses.replace(cfg.model.head, tpv=False,
+                                 return_uniform_sdf=True))
+    model = TPVSegmentor(cfg=model_cfg)
+    rng = jax.random.PRNGKey(0)
+    H, W = cfg.input_size
+    imgs = jax.random.uniform(rng, (1, cfg.num_cams, H, W, 3))
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    variables = jax.jit(lambda: model.init(
+        {'params': rng, 'dropout': jax.random.PRNGKey(1)},
+        imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True))()
+    out, _ = jax.jit(lambda v: model.apply(
+        v, imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True,
+        rngs={'dropout': rng}, mutable=['batch_stats']))(variables)
+    R = cfg.num_rays[0] * cfg.num_rays[1]
+    assert out['ms_depths'][0].shape == (1, cfg.num_cams, R)
+    assert 'uniform_sdf' in out
+    assert np.isfinite(np.asarray(out['ms_depths'][0])).all()
