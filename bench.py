@@ -60,8 +60,9 @@ def main():
     batch = ds[0]
     img2lidar = jnp.asarray(batch["img2lidar"])
 
-    variables = jax.jit(lambda: head.init(
-        {"params": rng, "dropout": rng}, rep, img2lidar, rng, 0, True))()
+    from selfocc_tpu.utils.train_lib import jit_init_on_cpu
+    variables = jit_init_on_cpu(lambda: head.init(
+        {"params": rng, "dropout": rng}, rep, img2lidar, rng, 0, True))
     volume = jax.jit(lambda: head.apply(variables, rep, method="prepare"))()
     if args.dtype != "float32":
         volume = volume.astype(args.dtype)

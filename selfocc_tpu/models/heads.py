@@ -40,6 +40,29 @@ def beta_schedule(beta_init, beta_max, total_iters, it):
     return 1.0 / beta
 
 
+class FlowNet(nn.Module):
+    """BEV flow head for dynamic scenes (reference ``neus_head.py:215-235``):
+    conv stack over concatenated prev/curr BEV features predicting per-voxel
+    3D flow (z_size * 3 channels), last conv near-zero init."""
+
+    embed_dims: int
+    z_size: int
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        # x: (B, H, W, 2C) channel-last
+        for i in range(2):
+            x = nn.Conv(self.embed_dims, (3, 3), padding="SAME",
+                        use_bias=False, name=f"conv{i}")(x)
+            x = nn.LayerNorm(name=f"norm{i}")(x)
+            x = nn.relu(x)
+        x = nn.Conv(self.z_size * 3, (1, 1),
+                    kernel_init=nn.initializers.normal(1e-2),
+                    name="out")(x)
+        B, H, W, _ = x.shape
+        return x.reshape(B, H, W, self.z_size, 3)
+
+
 class NeuSHead(nn.Module):
     """SDF head: decode field, cast rays, NeuS-composite RGB/depth/sem."""
 
@@ -73,6 +96,7 @@ class NeuSHead(nn.Module):
     ray_y_dsr_max: Optional[float] = None
 
     render_bkgd: str = "white"
+    estimate_flow: bool = False   # BEV flow head (reference neus_head.py:215)
     # Rays per remat'd chunk in the training forward (0 = single dense pass).
     # Each chunk is rematerialized (jax.checkpoint) so peak memory scales with
     # the chunk, not the full 48x100x6-ray batch — the TPU answer to the
@@ -111,6 +135,11 @@ class NeuSHead(nn.Module):
             ray_number=tuple(self.ray_number),
             ray_img_size=tuple(self.ray_img_size),
             ray_upper_crop=self.ray_upper_crop)
+        if self.estimate_flow:
+            from ..geometry.mappings import make_mapping
+            m = make_mapping(**self.mapping_args)
+            self.flow_net = FlowNet(embed_dims=self.embed_dims,
+                                    z_size=m.size_d, name="flow_net")
 
     # ------------------------------------------------------------------ core
     def _inv_s(self, global_iter):
@@ -230,7 +259,7 @@ class NeuSHead(nn.Module):
         return vol[0]
 
     def __call__(self, representation, img2lidar, rng=None, global_iter=None,
-                 train=True):
+                 train=True, prev_rep=None, next_rep=None):
         """Training forward (``neus_head.py:473-713``).
 
         Args:
@@ -239,8 +268,32 @@ class NeuSHead(nn.Module):
             (``temImg2lidar`` for the occ configs) and concatenated the
             two_split halves if applicable.
           rng: PRNG key (ray jitter + perturb + random background).
+          prev_rep/next_rep: optional neighbor BEV representations for the
+            flow head (``estimate_flow``, reference ``neus_head.py:488-504``).
         """
         volume = self.field.decode(representation)[0]
+
+        flows = None
+        if self.estimate_flow and prev_rep is not None and next_rep is not None:
+            assert not isinstance(representation, (list, tuple)), \
+                "flow head supports BEV representations (neus_head.py:489)"
+            m = self.field.mapping
+            Hb, Wb = m.size_h, m.size_w
+
+            def bev2d(r):
+                return r.reshape(1, Hb, Wb, self.embed_dims)
+            curr2d, prev2d, next2d = map(bev2d, (representation, prev_rep,
+                                                 next_rep))
+            flows = {
+                "curr2prev_flow": self.flow_net(
+                    jnp.concatenate([prev2d, curr2d], -1)),
+                "curr2next_flow": self.flow_net(
+                    jnp.concatenate([next2d, curr2d], -1)),
+                "prev2curr_flow": self.flow_net(
+                    jnp.concatenate([curr2d, prev2d], -1)),
+                "next2curr_flow": self.flow_net(
+                    jnp.concatenate([curr2d, next2d], -1)),
+            }
         ray_rng = None
         if rng is not None:
             rng, ray_rng = jax.random.split(rng)
@@ -313,6 +366,23 @@ class NeuSHead(nn.Module):
             usdf_rng = jax.random.split(rng)[1] if rng is not None else None
             outputs["uniform_sdf"] = self.get_uniform_sdf(
                 volume, self.roi_aabb, self.resolution, shift_rng=usdf_rng)[0]
+        if flows is not None:
+            # sample flow volumes at ray sample positions and emit warped
+            # positions (reference neus_head.py:609-626)
+            from ..ops.interp import trilinear_sample_cf
+            unit = dir_flat / jnp.linalg.norm(dir_flat, axis=-1, keepdims=True)
+            t_euclid = (outputs["ts"].reshape(-1, self.num_samples)
+                        * jnp.linalg.norm(dir_flat, axis=-1, keepdims=True))
+            positions = origin_flat[:, None, :] + \
+                unit[:, None, :] * t_euclid[..., None]
+            grids = self.field.mapping.meter2grid(positions)
+            for key, tgt in (("curr2prev_flow", "prev_warp"),
+                             ("curr2next_flow", "next_warp")):
+                vol_cf = jnp.moveaxis(flows[key][0], -1, 0)  # (3, H, W, Dz)
+                sampled = trilinear_sample_cf(vol_cf, grids, "border")
+                outputs[tgt] = cams(positions + sampled,
+                                    (self.num_samples, 3))
+            outputs.update(flows)
         if self.two_split:
             outputs = split_cams_for_losses(outputs, num_cams)
         return outputs

@@ -33,12 +33,13 @@ def load_model_for_eval(config_name: str, ckpt_path: str = "",
 
 
 def init_variables(model, cfg: Config, sample: Dict, seed: int = 42):
+    from .train_lib import jit_init_on_cpu
     rng = jax.random.PRNGKey(seed)
     trans_kw = cfg.model.head.trans_kw
-    return jax.jit(lambda: model.init(
+    return jit_init_on_cpu(lambda: model.init(
         {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
         sample["imgs"], sample["lidar2img"], sample[trans_kw],
-        rng, 0, True))()
+        rng, 0, True))
 
 
 def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42):

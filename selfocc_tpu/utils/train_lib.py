@@ -158,14 +158,32 @@ def make_dp_train_step(model, cfg: Config, mesh):
     return jax.jit(sharded)
 
 
+def jit_init_on_cpu(init_fn):
+    """Run a flax ``init`` on the CPU backend and transfer the variables to
+    the default device. Param initialization only needs shapes + RNG — running
+    it on CPU avoids compiling the entire forward graph a second time on the
+    accelerator (the init jit traces the same ~full model as the train step).
+    """
+    default = jax.devices()[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is None or default.platform == "cpu":
+        return jax.jit(init_fn)()
+    with jax.default_device(cpu):
+        variables = jax.jit(init_fn)()
+    return jax.device_put(variables, default)
+
+
 def init_train_state(model, cfg: Config, rng, sample_batch,
                      grad_accumulation: int = 1) -> TrainState:
     trans_kw = cfg.model.head.trans_kw
-    variables = jax.jit(
+    variables = jit_init_on_cpu(
         lambda: model.init(
             {"params": rng, "dropout": jax.random.fold_in(rng, 1)},
             sample_batch["imgs"], sample_batch["lidar2img"],
-            sample_batch[trans_kw], rng, 0, True))()
+            sample_batch[trans_kw], rng, 0, True))
     tx, _ = make_optimizer(cfg, grad_accumulation)
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],

@@ -157,3 +157,25 @@ def test_beta_hand_tune_schedule():
     out1 = head.apply(params, rep, cams, rng, 100, True)
     np.testing.assert_allclose(float(out0['inv_s']), 10.0, atol=1e-4)
     np.testing.assert_allclose(float(out1['inv_s']), 5.0, atol=1e-4)
+
+
+def test_flow_head_bev():
+    """estimate_flow path: flow volumes + warped ray positions emitted
+    (reference neus_head.py:488-504, 609-626)."""
+    head = make_head(tpv=False, estimate_flow=True, return_second_grad=False,
+                     return_sem=False, sem_dims=0, color_dims=0)
+    rng = jax.random.PRNGKey(0)
+    H = W = 17
+    rep = jax.random.normal(rng, (1, H * W, 16)) * 0.1
+    prev_rep = rep + 0.01
+    next_rep = rep - 0.01
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True,
+                       prev_rep=prev_rep, next_rep=next_rep)
+    out = jax.jit(lambda p: head.apply(
+        p, rep, cams, rng, 0, True, prev_rep=prev_rep,
+        next_rep=next_rep))(params)
+    R = 4 * 6
+    assert out['prev_warp'].shape == (1, 2, R, 32, 3)
+    assert out['curr2prev_flow'].shape == (1, 17, 17, 9, 3)
+    assert np.isfinite(np.asarray(out['prev_warp'])).all()
