@@ -179,3 +179,35 @@ def test_flow_head_bev():
     assert out['prev_warp'].shape == (1, 2, R, 32, 3)
     assert out['curr2prev_flow'].shape == (1, 17, 17, 9, 3)
     assert np.isfinite(np.asarray(out['prev_warp'])).all()
+
+
+def test_density_head_nerfacc():
+    """NeRFAcc-equivalent density head: opacity-normalized depth, density
+    rendering invariants (reference model/head/nerfacc_head)."""
+    from selfocc_tpu.models.density_head import NeRFAccHead, occupancy_grid
+    head = NeRFAccHead(
+        roi_aabb=AABB, mapping_args=MAPPING, resolution=1.0, num_samples=32,
+        embed_dims=16, color_dims=12, sem_dims=4, sh_deg=1, tpv=True,
+        return_sem=True, ray_sample_mode='cellular', ray_number=(4, 6),
+        ray_img_size=(32, 48), render_bkgd='white')
+    rng = jax.random.PRNGKey(0)
+    H = W = 17
+    D = 9
+    k1, k2, k3 = jax.random.split(rng, 3)
+    rep = [jax.random.normal(k1, (1, H * W, 16)) * 0.1,
+           jax.random.normal(k2, (1, D * H, 16)) * 0.1,
+           jax.random.normal(k3, (1, W * D, 16)) * 0.1]
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    out = jax.jit(lambda p: head.apply(p, rep, cams, rng, 0, True))(params)
+    R = 24
+    assert out['ms_depths'][0].shape == (1, 2, R)
+    assert out['ms_colors'][0].shape == (1, 2, R, 3)
+    assert out['sem'][0].shape == (1, 2, R, 4)
+    w = np.asarray(out['weights'])
+    assert (w >= 0).all() and (w.sum(-1) <= 1 + 1e-5).all()
+    assert np.isfinite(np.asarray(out['ms_depths'][0])).all()
+
+    vol = head.apply(params, rep, method='prepare')
+    occ = occupancy_grid(vol)
+    assert occ.shape == (17, 17, 9) and occ.dtype == bool
