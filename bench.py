@@ -85,17 +85,19 @@ def main():
     origin = origin.reshape(n_chunks, args.chunk, 3)
     direction = direction.reshape(n_chunks, args.chunk, 3)
 
-    render = jax.jit(lambda o, d: head.apply(
-        variables, volume, o, d, train=False, method="render_rays")["depth"])
+    # volume and params must be jit *arguments* — closing over them bakes
+    # ~150 MB of constants into the MLIR and multiplies compile time
+    render = jax.jit(lambda v, vol, o, d: head.apply(
+        v, vol, o, d, train=False, method="render_rays")["depth"])
 
     # warmup / compile
-    jax.block_until_ready(render(origin[0], direction[0]))
+    jax.block_until_ready(render(variables, volume, origin[0], direction[0]))
 
     t0 = time.time()
     for _ in range(args.repeat):
         out = []
         for i in range(n_chunks):
-            out.append(render(origin[i], direction[i]))
+            out.append(render(variables, volume, origin[i], direction[i]))
         jax.block_until_ready(out)
     dt = (time.time() - t0) / args.repeat
 

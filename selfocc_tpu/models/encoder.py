@@ -462,11 +462,15 @@ class BEVFormerEncoder(nn.Module):
         # BEV positional encoding: fourier features of normalized plane meters
         # (reference bevformer_pos_embed.py:7-35)
         from .lifter import fourier_feat_from_meter, tpv_plane_meters
-        hw_meter, _, _ = tpv_plane_meters(mapping)
-        x0, y0, _, x1, y1, _ = self.pc_range
-        hw = jnp.stack([(hw_meter[..., 0] - x0) / (x1 - x0),
-                        (hw_meter[..., 1] - y0) / (y1 - y0)], axis=-1)
-        feat = fourier_feat_from_meter(self.pos_num_freqs[0], hw)
+
+        def build_feat():
+            hw_meter, _, _ = tpv_plane_meters(mapping)
+            x0, y0, _, x1, y1, _ = self.pc_range
+            hw = jnp.stack([(hw_meter[..., 0] - x0) / (x1 - x0),
+                            (hw_meter[..., 1] - y0) / (y1 - y0)], axis=-1)
+            return fourier_feat_from_meter(self.pos_num_freqs[0], hw)
+
+        feat = self.variable("consts", "fourier_feat", build_feat).value
         bev_pos = nn.Dense(self.embed_dims, name="position_layer")(feat)[None]
 
         level_embeds = self.param(
@@ -486,23 +490,33 @@ class BEVFormerEncoder(nn.Module):
         value = jnp.concatenate(feats, axis=1)
         img_spatial_shapes = tuple(img_spatial_shapes)
 
-        # ref_3d pillars over the BEV plane (bevformer_encoder.py:104-112)
-        ah = np.arange(H, dtype=np.float32)
-        aw = np.arange(W, dtype=np.float32)
-        ud = np.linspace(0, D - 1, self.num_points_cross, dtype=np.float32)
-        grid = np.stack(np.broadcast_arrays(
-            ah[:, None, None], aw[None, :, None], ud[None, None, :]), -1)
-        ref_3d = mapping.grid2meter(jnp.asarray(grid))
-        ref_3d = ref_3d.reshape(H * W, self.num_points_cross, 3).swapaxes(0, 1)
+        # ref_3d pillars over the BEV plane (bevformer_encoder.py:104-112);
+        # stored as 'consts' operands (see TPVFormerEncoder note)
+        def build_ref3d():
+            ah = np.arange(H, dtype=np.float32)
+            aw = np.arange(W, dtype=np.float32)
+            ud = np.linspace(0, D - 1, self.num_points_cross,
+                             dtype=np.float32)
+            grid = np.stack(np.broadcast_arrays(
+                ah[:, None, None], aw[None, :, None], ud[None, None, :]), -1)
+            r = mapping.grid2meter(jnp.asarray(grid))
+            return r.reshape(H * W, self.num_points_cross, 3).swapaxes(0, 1)
+
+        ref_3d = self.variable("consts", "ref_3d", build_ref3d).value
         rc, m = point_sampling(ref_3d, lidar2img, img_shape,
                                focal_ratios_x, focal_ratios_y)
         ref_cams, masks = rc[:, 0], m[:, 0]
 
         # normalized 2D self-attn reference points (bevformer_encoder.py:114-118)
-        gh = np.repeat(ah / max(H - 1, 1), W)
-        gw = np.tile(aw / max(W - 1, 1), H)
-        # mmcv sampling locations are (x, y) normalized by (w, h)
-        ref_2d = jnp.asarray(np.stack([gw, gh], -1), jnp.float32)
+        def build_ref2d():
+            ah = np.arange(H, dtype=np.float32)
+            aw = np.arange(W, dtype=np.float32)
+            gh = np.repeat(ah / max(H - 1, 1), W)
+            gw = np.tile(aw / max(W - 1, 1), H)
+            # mmcv sampling locations are (x, y) normalized by (w, h)
+            return jnp.asarray(np.stack([gw, gh], -1), jnp.float32)
+
+        ref_2d = self.variable("consts", "ref_2d", build_ref2d).value
 
         ScanLayers = nn.scan(
             BEVFormerLayer,
@@ -537,14 +551,19 @@ class TPVPositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self):
-        mapping = make_mapping(**self.mapping_args)
-        hw, zh, wz = tpv_plane_meters(mapping)
-        hw, zh, wz = normalize_plane_meters(hw, zh, wz, list(self.tot_range))
+        def build_feats():
+            mapping = make_mapping(**self.mapping_args)
+            hw, zh, wz = tpv_plane_meters(mapping)
+            hw, zh, wz = normalize_plane_meters(hw, zh, wz,
+                                                list(self.tot_range))
+            return tuple(fourier_feat_from_meter(f, m) for f, m in
+                         zip(self.num_freqs, (hw, zh, wz)))
+
+        # fourier tables as 'consts' operands, not baked constants (see
+        # TPVFormerEncoder note on MLIR size)
+        feats = self.variable("consts", "fourier_feats", build_feats).value
         out = []
-        for name, f, m in (("hw", self.num_freqs[0], hw),
-                           ("zh", self.num_freqs[1], zh),
-                           ("wz", self.num_freqs[2], wz)):
-            feat = fourier_feat_from_meter(f, m)
+        for name, feat in zip(("hw", "zh", "wz"), feats):
             out.append(nn.Dense(self.embed_dims,
                                 name=f"position_layer_{name}")(feat))
         return out
@@ -618,18 +637,25 @@ class TPVFormerEncoder(nn.Module):
         value = jnp.concatenate(feats, axis=1)          # (N, L, C)
         img_spatial_shapes = tuple(img_spatial_shapes)
 
-        # reference points: 3D pillars projected into the cameras (fp32)
-        refs = tpv_ref_3d(mapping, tuple(self.num_points_cross))
+        # reference points: 3D pillars projected into the cameras (fp32).
+        # The multi-MB point tables live in the 'consts' variable collection
+        # (jit *operands*) rather than trace-time constants — baked constants
+        # ballooned the MLIR to ~37 MB and dominated TPU compile time.
+        refs_var = self.variable(
+            "consts", "ref_3d",
+            lambda: tuple(tpv_ref_3d(mapping, tuple(self.num_points_cross))))
         ref_cams_list, masks_list = [], []
-        for ref in refs:
+        for ref in refs_var.value:
             rc, m = point_sampling(ref, lidar2img, img_shape,
                                    focal_ratios_x, focal_ratios_y)
             # (N, B, Q, P, 2) -> bs=1 -> (N, Q, P, 2)
             ref_cams_list.append(rc[:, 0])
             masks_list.append(m[:, 0])
 
-        cross_view_ref = get_cross_view_ref_points(
-            H, W, D, (self.num_points_self,) * 3)
+        cross_view_ref = self.variable(
+            "consts", "cross_view_ref",
+            lambda: get_cross_view_ref_points(
+                H, W, D, (self.num_points_self,) * 3)).value
 
         ScanLayers = nn.scan(
             TPVFormerLayer,

@@ -32,6 +32,10 @@ class TPVSegmentor(nn.Module):
             from .resnet import TinyBackbone
             self.img_backbone = TinyBackbone(
                 channels=tuple(c.fpn_in_channels), name="img_backbone")
+        elif c.backbone_type == "unet2d":
+            from .unet2d import UNet2D
+            self.img_backbone = UNet2D(out_feature=c.fpn_in_channels[0],
+                                       name="img_backbone")
         else:
             self.img_backbone = ResNet50(name="img_backbone")
         self.img_neck = FPN(

@@ -58,8 +58,11 @@ def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42):
         restored = load_checkpoint(ckpt_path, state)
         if restored is not None:
             state = restored[0]
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
+            new_vars = {"params": state.params,
+                        "batch_stats": state.batch_stats}
+            if "consts" in variables:   # recomputable tables, not in ckpt
+                new_vars["consts"] = variables["consts"]
+            variables = new_vars
     return variables
 
 
@@ -72,24 +75,25 @@ class ChunkedRenderer:
         self.model = model
         self.variables = variables
         self.chunk = chunk
-        self._render = jax.jit(
-            lambda vol, o, d: model.apply(
-                variables, vol, o, d, method="render_rays"))
-        self.shardings = None
+        # variables/volume are jit ARGUMENTS (closure capture would bake the
+        # decoded volume + params into the compiled module as constants)
+        def _render_fn(v, vol, o, d):
+            return model.apply(v, vol, o, d, method="render_rays")
         if shard and len(jax.devices()) > 1:
             from ..parallel.mesh import batch_sharded, make_mesh, replicated
             mesh = make_mesh()
             self._render = jax.jit(
-                lambda vol, o, d: model.apply(
-                    variables, vol, o, d, method="render_rays"),
-                in_shardings=(replicated(mesh), batch_sharded(mesh),
-                              batch_sharded(mesh)),
-            )
+                _render_fn,
+                in_shardings=(replicated(mesh), replicated(mesh),
+                              batch_sharded(mesh), batch_sharded(mesh)))
+        else:
+            self._render = jax.jit(_render_fn)
 
     def prepare(self, imgs, lidar2img, flip=False):
-        fn = jax.jit(lambda v, i, l: self.model.apply(
-            v, i, l, method="prepare"))
-        return fn(self.variables, imgs, lidar2img)
+        if not hasattr(self, "_prepare"):
+            self._prepare = jax.jit(lambda v, i, l: self.model.apply(
+                v, i, l, method="prepare"))
+        return self._prepare(self.variables, imgs, lidar2img)
 
     def render(self, volume, origin, direction) -> Dict[str, np.ndarray]:
         """origin/direction: (R, 3). Returns host-side dict of per-ray
@@ -101,7 +105,8 @@ class ChunkedRenderer:
         n_chunks = o.shape[0] // self.chunk
         outs = []
         for i in range(n_chunks):
-            r = self._render(volume, o[i * self.chunk:(i + 1) * self.chunk],
+            r = self._render(self.variables, volume,
+                             o[i * self.chunk:(i + 1) * self.chunk],
                              d[i * self.chunk:(i + 1) * self.chunk])
             outs.append({k: r[k] for k in
                          ("depth", "rgb", "acc") if k in r} |

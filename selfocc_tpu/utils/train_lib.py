@@ -26,6 +26,7 @@ class TrainState(struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    consts: Any = None   # 'consts' collection: precomputed reference tables
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -98,10 +99,13 @@ def make_loss_fn(model, cfg: Config):
     loss_fn = MultiLoss(cfg.loss_cfgs)
     trans_kw = cfg.model.head.trans_kw
 
-    def compute(params, batch_stats, batch, rng, global_iter):
+    def compute(params, batch_stats, consts, batch, rng, global_iter):
         drop_rng, fwd_rng = jax.random.split(rng)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if consts is not None:
+            variables["consts"] = consts
         out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            variables,
             batch["imgs"], batch["lidar2img"], batch[trans_kw],
             fwd_rng, global_iter, True,
             rngs={"dropout": drop_rng}, mutable=["batch_stats"])
@@ -118,8 +122,8 @@ def make_train_step(model, cfg: Config):
     @jax.jit
     def step(state: TrainState, batch, rng):
         (tot, (ldict, new_bs)), grads = jax.value_and_grad(
-            compute, has_aux=True)(state.params, state.batch_stats, batch,
-                                   rng, state.step)
+            compute, has_aux=True)(state.params, state.batch_stats,
+                                   state.consts, batch, rng, state.step)
         state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         metrics = dict(ldict, total=tot,
                        grad_norm=optax.global_norm(grads))
@@ -140,6 +144,7 @@ def make_dp_train_step(model, cfg: Config, mesh):
         rng = rng[0]
         (tot, (ldict, new_bs)), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params, state.batch_stats,
+                                   state.consts,
                                    jax.tree_util.tree_map(lambda x: x[0], batch),
                                    rng, state.step)
         grads = jax.lax.pmean(grads, DATA_AXIS)
@@ -188,4 +193,5 @@ def init_train_state(model, cfg: Config, rng, sample_batch,
     return TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]), tx=tx)
+        opt_state=tx.init(variables["params"]), tx=tx,
+        consts=variables.get("consts"))

@@ -46,7 +46,8 @@ def test_train_forward_and_loss_grads(setup):
 
     def total_loss(params):
         out, _ = model.apply(
-            {'params': params, 'batch_stats': variables['batch_stats']},
+            {'params': params, 'batch_stats': variables['batch_stats'],
+             'consts': variables['consts']},
             imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True,
             rngs={'dropout': jax.random.PRNGKey(5)},
             mutable=['batch_stats'])
@@ -126,3 +127,15 @@ def test_bev_variant_forward():
     assert out['ms_depths'][0].shape == (1, cfg.num_cams, R)
     assert 'uniform_sdf' in out
     assert np.isfinite(np.asarray(out['ms_depths'][0])).all()
+
+
+def test_unet2d_backbone_pyramid():
+    from selfocc_tpu.models.unet2d import UNet2D
+    m = UNet2D(out_feature=32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.uniform(rng, (2, 64, 96, 3))
+    variables = jax.jit(lambda: m.init(rng, x))()
+    outs, _ = jax.jit(lambda v: m.apply(v, x, train=True,
+                                        mutable=['batch_stats']))(variables)
+    assert [o.shape for o in outs] == [
+        (2, 16, 24, 32), (2, 8, 12, 32), (2, 4, 6, 32), (2, 2, 3, 32)]
