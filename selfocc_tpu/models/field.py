@@ -163,6 +163,32 @@ class TPVSDFField(nn.Module):
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
         return trilinear_sample_cf(volume[:1], grid, padding="zeros")[..., 0]
 
+    def query_geo_grad(self, volume, xyz):
+        """All channels + the metric-space SDF gradient from ONE corner-gather
+        pass (``trilinear_sample_cf_with_grad``): the grid-space gradient is
+        closed-form from the corner values, then chained through the
+        ``meter2grid`` jacobian columns via three elementwise ``jvp``s —
+        no autodiff transpose, no second gather (halves render HBM traffic).
+        """
+        from ..ops.interp import trilinear_sample_cf_with_grad
+        xyz = xyz.astype(jnp.float32)
+        grid_fn = self.mapping.meter2grid
+        grid = grid_fn(xyz)
+        vals, grad_grid = trilinear_sample_cf_with_grad(volume, grid, "zeros")
+        # chain rule: d sdf/d meter_k = d sdf/d grid . (d grid/d meter_k)
+        cols = []
+        for k in range(3):
+            e = jnp.zeros((3,), jnp.float32).at[k].set(1.0)
+            tangent = jnp.broadcast_to(e, xyz.shape)
+            _, jcol = jax.jvp(grid_fn, (xyz,), (tangent,))
+            cols.append(jnp.sum(grad_grid * jcol, axis=-1))
+        grad = jnp.stack(cols, axis=-1)
+        return {
+            "sdf": vals[..., 0],
+            "color_feat": vals[..., 1:1 + self.n_sh],
+            "sem_logits": vals[..., 1 + self.n_sh:],
+        }, grad
+
     def sdf_grad(self, volume, xyz):
         """Analytic spatial SDF gradient (autodiff through the trilinear
         interpolation — replaces ``use_numerical_gradients`` and the

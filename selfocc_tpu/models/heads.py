@@ -178,13 +178,15 @@ class NeuSHead(nn.Module):
         mids = segs.mids                                     # (R, S)
         positions = origin[:, None, :] + unit_dir[:, None, :] * mids[..., None]
 
-        geo = self.field.query_geo(volume, positions)
-        sdf = geo["sdf"]                                     # (R, S)
         if self.use_numerical_gradients:
+            geo = self.field.query_geo(volume, positions)
             grad = self.field.sdf_numerical_grad(
                 volume, positions, self.numerical_gradients_delta)
         else:
-            grad = self.field.sdf_grad(volume, positions)
+            # fused: one corner-gather pass yields all channels AND the
+            # analytic SDF gradient (field.query_geo_grad)
+            geo, grad = self.field.query_geo_grad(volume, positions)
+        sdf = geo["sdf"]                                     # (R, S)
 
         if inv_s is None:
             inv_s = self._inv_s(global_iter)

@@ -155,6 +155,69 @@ def trilinear_sample_cf(vol_cf, hwd, padding: str = "zeros"):
     return out.T.reshape(*pts_shape, C)
 
 
+def trilinear_sample_cf_with_grad(vol_cf, hwd, padding: str = "zeros"):
+    """Channel-first trilinear sampling returning values AND the analytic
+    spatial gradient of channel 0 w.r.t. the grid coordinates.
+
+    One corner-gather pass serves both: the value is the weighted corner sum,
+    and the derivative of trilinear interpolation along each axis is the
+    bilinear interpolation (over the other two axes) of corner differences —
+    closed form, no autodiff transpose graph, no second gather
+    (the render loop's SDF gradient otherwise doubles HBM gather traffic).
+
+    Returns:
+      vals: (..., C); grad0: (..., 3) = d(channel0)/d(h, w, d).
+    """
+    C, H, W, D = vol_cf.shape
+    pts_shape = hwd.shape[:-1]
+    hwd = hwd.reshape(-1, 3)
+    h, w, d = hwd[:, 0], hwd[:, 1], hwd[:, 2]
+    if padding == "border":
+        h = jnp.clip(h, 0.0, H - 1.0)
+        w = jnp.clip(w, 0.0, W - 1.0)
+        d = jnp.clip(d, 0.0, D - 1.0)
+    h0, w0, d0 = jnp.floor(h), jnp.floor(w), jnp.floor(d)
+    wh, ww, wd = h - h0, w - w0, d - d0
+    h0i, w0i, d0i = (h0.astype(jnp.int32), w0.astype(jnp.int32),
+                     d0.astype(jnp.int32))
+
+    v_flat = vol_cf.reshape(C, H * W * D)
+    corners = {}     # (ih, iw, id) in {0,1}^3 -> (C, N) masked corner values
+    for ih, (hi, whi) in enumerate(((h0i, 1.0 - wh), (h0i + 1, wh))):
+        for iw, (wi, wwi) in enumerate(((w0i, 1.0 - ww), (w0i + 1, ww))):
+            for idd, (di, wdi) in enumerate(((d0i, 1.0 - wd), (d0i + 1, wd))):
+                if padding == "zeros":
+                    valid = ((hi >= 0) & (hi <= H - 1) & (wi >= 0) &
+                             (wi <= W - 1) & (di >= 0) & (di <= D - 1))
+                else:
+                    valid = jnp.ones_like(hi, dtype=bool)
+                lin = (jnp.clip(hi, 0, H - 1) * W
+                       + jnp.clip(wi, 0, W - 1)) * D + jnp.clip(di, 0, D - 1)
+                corners[(ih, iw, idd)] = \
+                    jnp.where(valid[None, :], jnp.take(v_flat, lin, axis=1),
+                              0.0)
+
+    wh_ = (1.0 - wh, wh)
+    ww_ = (1.0 - ww, ww)
+    wd_ = (1.0 - wd, wd)
+    vals = None
+    for (ih, iw, idd), cv in corners.items():
+        term = (wh_[ih] * ww_[iw] * wd_[idd])[None, :] * cv
+        vals = term if vals is None else vals + term
+
+    # gradient of channel 0: finite corner differences bilinearly interpolated
+    c0 = {k: v[0] for k, v in corners.items()}
+    gh = sum((c0[(1, iw, idd)] - c0[(0, iw, idd)]) * ww_[iw] * wd_[idd]
+             for iw in (0, 1) for idd in (0, 1))
+    gw = sum((c0[(ih, 1, idd)] - c0[(ih, 0, idd)]) * wh_[ih] * wd_[idd]
+             for ih in (0, 1) for idd in (0, 1))
+    gd = sum((c0[(ih, iw, 1)] - c0[(ih, iw, 0)]) * wh_[ih] * ww_[iw]
+             for ih in (0, 1) for iw in (0, 1))
+    grad0 = jnp.stack([gh, gw, gd], axis=-1)
+    return (vals.T.reshape(*pts_shape, C),
+            grad0.reshape(*pts_shape, 3))
+
+
 def grid_sample_2d(imgs, xy_norm, padding: str = "zeros"):
     """Batched drop-in for torch ``F.grid_sample`` on 2D with align_corners=True.
 

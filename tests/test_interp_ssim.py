@@ -110,3 +110,22 @@ def test_trilinear_cf_matches_channel_last():
     cf_b = np.asarray(trilinear_sample_cf(
         jnp.asarray(np.moveaxis(vol, -1, 0)), jnp.asarray(hwd), "border"))
     np.testing.assert_allclose(cf_b, ref_b, atol=1e-5)
+
+
+def test_trilinear_with_grad_matches_autodiff():
+    """Fused corner-gather value+grad must equal autodiff of the plain
+    sampler (exact same piecewise-trilinear function)."""
+    import jax
+    from selfocc_tpu.ops.interp import (trilinear_sample_cf,
+                                        trilinear_sample_cf_with_grad)
+    rng = np.random.RandomState(7)
+    vol = jnp.asarray(rng.randn(4, 5, 6, 7).astype(np.float32))  # C,H,W,D
+    pts = jnp.asarray(rng.uniform(0.2, 4.2, size=(40, 3)).astype(np.float32))
+    vals, grad0 = trilinear_sample_cf_with_grad(vol, pts, "zeros")
+    ref_vals = trilinear_sample_cf(vol, pts, "zeros")
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_vals),
+                               atol=1e-5)
+    ad_grad = jax.grad(
+        lambda p: trilinear_sample_cf(vol, p, "zeros")[..., 0].sum())(pts)
+    np.testing.assert_allclose(np.asarray(grad0), np.asarray(ad_grad),
+                               atol=1e-4)

@@ -211,3 +211,20 @@ def test_density_head_nerfacc():
     vol = head.apply(params, rep, method='prepare')
     occ = occupancy_grid(vol)
     assert occ.shape == (17, 17, 9) and occ.dtype == bool
+
+
+def test_query_geo_grad_matches_autodiff():
+    head = make_head()
+    rng = jax.random.PRNGKey(5)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    field = head.bind(params).field
+    vol = field.decode(rep)[0]
+    pts = jnp.asarray(np.random.RandomState(3).uniform(
+        -8, 8, size=(64, 3)).astype(np.float32) * np.array([1, 1, 0.2]))
+    geo, grad = field.query_geo_grad(vol, pts)
+    ad = field.sdf_grad(vol, pts)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ad), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(geo['sdf']),
+                               np.asarray(field.sdf(vol, pts)), atol=1e-5)
