@@ -263,6 +263,11 @@ class Kitti_One_Frame:
         return np.load(sem_path)[None]
 
     def read_surround_imgs(self, paths):
+        from ..native import get_shared_loader
+        loader = get_shared_loader()
+        if loader is not None:
+            return list(loader.decode_batch(
+                paths, crop_hw=(self.img_H, self.img_W)))
         imgs = []
         for p in paths:
             img = cv2.imread(p, cv2.IMREAD_UNCHANGED).astype(np.float32)

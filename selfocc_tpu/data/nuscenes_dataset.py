@@ -225,6 +225,13 @@ class nuScenes_One_Frame_Sweeps_Dist:
         return dict(image_paths=paths, img2temImg=np.asarray(mats))
 
     def read_surround_imgs(self, paths, crop_size):
+        # batched decode on the native C++ thread pool when built
+        # (selfocc_tpu/native/loader.cpp); cv2 fallback otherwise
+        from ..native import get_shared_loader
+        loader = get_shared_loader()
+        if loader is not None:
+            return list(loader.decode_batch(
+                paths, crop_hw=(crop_size[0], crop_size[1])))
         imgs = []
         for p in paths:
             img = cv2.imread(p, cv2.IMREAD_UNCHANGED).astype(np.float32)
