@@ -182,37 +182,38 @@ def trilinear_sample_cf_with_grad(vol_cf, hwd, padding: str = "zeros"):
                      d0.astype(jnp.int32))
 
     v_flat = vol_cf.reshape(C, H * W * D)
-    corners = {}     # (ih, iw, id) in {0,1}^3 -> (C, N) masked corner values
-    for ih, (hi, whi) in enumerate(((h0i, 1.0 - wh), (h0i + 1, wh))):
-        for iw, (wi, wwi) in enumerate(((w0i, 1.0 - ww), (w0i + 1, ww))):
-            for idd, (di, wdi) in enumerate(((d0i, 1.0 - wd), (d0i + 1, wd))):
-                if padding == "zeros":
-                    valid = ((hi >= 0) & (hi <= H - 1) & (wi >= 0) &
-                             (wi <= W - 1) & (di >= 0) & (di <= D - 1))
-                else:
-                    valid = jnp.ones_like(hi, dtype=bool)
-                lin = (jnp.clip(hi, 0, H - 1) * W
-                       + jnp.clip(wi, 0, W - 1)) * D + jnp.clip(di, 0, D - 1)
-                corners[(ih, iw, idd)] = \
-                    jnp.where(valid[None, :], jnp.take(v_flat, lin, axis=1),
-                              0.0)
-
     wh_ = (1.0 - wh, wh)
     ww_ = (1.0 - ww, ww)
     wd_ = (1.0 - wd, wd)
-    vals = None
-    for (ih, iw, idd), cv in corners.items():
-        term = (wh_[ih] * ww_[iw] * wd_[idd])[None, :] * cv
-        vals = term if vals is None else vals + term
+    # accumulate value + grad contributions per corner so each gathered
+    # (C, N) tensor dies immediately (8 simultaneously-live corners defeat
+    # XLA fusion and cost ~35% render throughput)
+    vals = gh = gw = gd = None
+    for ih, hi in enumerate((h0i, h0i + 1)):
+        for iw, wi in enumerate((w0i, w0i + 1)):
+            for idd, di in enumerate((d0i, d0i + 1)):
+                if padding == "zeros":
+                    valid = ((hi >= 0) & (hi <= H - 1) & (wi >= 0) &
+                             (wi <= W - 1) & (di >= 0) & (di <= D - 1))
+                    mask = valid.astype(v_flat.dtype)
+                else:
+                    mask = None
+                lin = (jnp.clip(hi, 0, H - 1) * W
+                       + jnp.clip(wi, 0, W - 1)) * D + jnp.clip(di, 0, D - 1)
+                g = jnp.take(v_flat, lin, axis=1)           # (C, N)
+                c0 = g[0] * mask if mask is not None else g[0]
+                wgt = wh_[ih] * ww_[iw] * wd_[idd]
+                if mask is not None:
+                    wgt = wgt * mask
+                term = wgt[None, :] * g
+                vals = term if vals is None else vals + term
+                th = (1.0 if ih else -1.0) * ww_[iw] * wd_[idd] * c0
+                tw = (1.0 if iw else -1.0) * wh_[ih] * wd_[idd] * c0
+                td = (1.0 if idd else -1.0) * wh_[ih] * ww_[iw] * c0
+                gh = th if gh is None else gh + th
+                gw = tw if gw is None else gw + tw
+                gd = td if gd is None else gd + td
 
-    # gradient of channel 0: finite corner differences bilinearly interpolated
-    c0 = {k: v[0] for k, v in corners.items()}
-    gh = sum((c0[(1, iw, idd)] - c0[(0, iw, idd)]) * ww_[iw] * wd_[idd]
-             for iw in (0, 1) for idd in (0, 1))
-    gw = sum((c0[(ih, 1, idd)] - c0[(ih, 0, idd)]) * wh_[ih] * wd_[idd]
-             for ih in (0, 1) for idd in (0, 1))
-    gd = sum((c0[(ih, iw, 1)] - c0[(ih, iw, 0)]) * wh_[ih] * ww_[iw]
-             for ih in (0, 1) for iw in (0, 1))
     grad0 = jnp.stack([gh, gw, gd], axis=-1)
     return (vals.T.reshape(*pts_shape, C),
             grad0.reshape(*pts_shape, 3))
