@@ -3,7 +3,7 @@
 Reference baseline: 6 cams x 450x800 rays x 256 samples rendered in ~90 min on
 one RTX3090 (``README.md:95``, BASELINE.md) => ~400 rays/s. This benchmark
 renders the same ray workload (2.16M rays, nuscenes_occ field: TPV 257x257x25,
-42-channel volume, analytic SDF gradients for NeuS alpha) against a decoded
+21-channel bf16 volume, fused analytic SDF gradients for NeuS alpha) against a decoded
 field volume and reports rays/sec plus the ratio vs that baseline.
 
 Prints ONE JSON line:
@@ -23,7 +23,8 @@ def main():
     ap.add_argument("--cams", type=int, default=6)
     ap.add_argument("--rays", type=int, nargs=2, default=[450, 800])
     ap.add_argument("--repeat", type=int, default=1)
-    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="field volume dtype; the render is HBM-gather-bound, bf16 triples throughput")
     args = ap.parse_args()
 
     import jax
