@@ -28,6 +28,10 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
     ap.add_argument("--no-shard", action="store_true")
+    ap.add_argument("--flip", action="store_true",
+                    help="flip test-time augmentation: average depth with a "
+                         "horizontally-flipped second pass (reference "
+                         "eval_depth.py:168-183)")
     ap.add_argument("--seed", type=int, default=42)
     return ap.parse_args()
 
@@ -71,6 +75,21 @@ def main():
         out = renderer.render(volume, origin, direction)
         total_rays += origin.shape[0]
         depth = out["depth"].reshape(cfg.num_cams, rh, rw)
+        if args.flip:
+            # second pass on mirrored inputs, features un-mirrored by the
+            # backbone's flip path (segmentor.extract_img_feat)
+            if not hasattr(renderer, "_prepare_flip"):
+                import jax as _jax
+                renderer._prepare_flip = _jax.jit(
+                    lambda v, im, l: renderer.model.apply(
+                        v, im, l, flip=True, method="prepare"))
+            vol_f = renderer._prepare_flip(
+                renderer.variables, batch["imgs"][:, :, :, ::-1],
+                batch["lidar2img"])
+            out_f = renderer.render(vol_f, origin, direction)
+            depth_f = out_f["depth"].reshape(cfg.num_cams, rh, rw)
+            depth = 0.5 * (depth + depth_f)
+            total_rays += origin.shape[0]
 
         if "depth_loc" in batch:
             loc = np.asarray(batch["depth_loc"])   # N, n, 2 in [0,1]

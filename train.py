@@ -38,6 +38,10 @@ def parse_args():
                     help="save iter-level checkpoint every N iters (0=off)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of steps 5-10 into "
+                         "<work-dir>/profile (SURVEY §5.1: the reference has "
+                         "no tracing; this is the TPU-side replacement)")
     ap.add_argument("--resnet-pth", default="ckpts/resnet50-0676ba61.pth",
                     help="torchvision resnet50 weights (optional)")
     return ap.parse_args()
@@ -141,6 +145,13 @@ def main():
                 i += 1
             t_data += time.time() - t0
 
+            if args.profile and global_iter == 5:
+                jax.profiler.start_trace(os.path.join(args.work_dir,
+                                                      "profile"))
+            if args.profile and global_iter == 10:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to "
+                            f"{args.work_dir}/profile")
             t0 = time.time()
             state, metrics = step_fn(state, batch, rngs)
             if global_iter % args.print_freq == 0:
