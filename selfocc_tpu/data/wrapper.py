@@ -26,7 +26,8 @@ class TemporalDatasetWrapper:
     def __init__(self, in_dataset, phase="train", scale_rate=1.0,
                  photometric_aug=None, img_norm_cfg=None, use_flip=False,
                  ref_focal_len=None, pad_img_size=None, random_scale=None,
-                 pad_scale_rate=None, sem_from=None):
+                 pad_scale_rate=None, sem_from=None,
+                 supervision_img_size=None):
         self.dataset = in_dataset
         self.scale_rate = scale_rate
         norm = img_norm_cfg or IMG_NORM
@@ -46,6 +47,9 @@ class TemporalDatasetWrapper:
             train_t.append(RandomFlip(0.5))
         self.transforms = train_t if phase == "train" else val_t
         self.sem_from = sem_from  # optional dir of precomputed 2D sem maps
+        # optional bilinear resize of the supervision images (reference
+        # dataset_wrapper_temporal.py:151-154, align_corners interpolate)
+        self.supervision_img_size = supervision_img_size
 
     def __len__(self):
         return len(self.dataset)
@@ -60,12 +64,22 @@ class TemporalDatasetWrapper:
         def stack(ims):
             return np.stack(ims).astype(np.float32)[None]  # 1, N, H, W, 3
 
+        def stack_sup(ims):
+            # supervision images optionally resized
+            # (reference dataset_wrapper_temporal.py:151-154)
+            if self.supervision_img_size is not None:
+                import cv2
+                h, w = self.supervision_img_size
+                ims = [cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR)
+                       for im in ims]
+            return stack(ims)
+
         batch = {
             "imgs": stack(input_imgs),
-            "curr_imgs": stack(curr_imgs) / 256.0,
-            "prev_imgs": stack(prev_imgs) / 256.0,
-            "next_imgs": stack(next_imgs) / 256.0,
-            "color_imgs": stack(color_imgs) / 256.0,
+            "curr_imgs": stack_sup(curr_imgs) / 256.0,
+            "prev_imgs": stack_sup(prev_imgs) / 256.0,
+            "next_imgs": stack_sup(next_imgs) / 256.0,
+            "color_imgs": stack_sup(color_imgs) / 256.0,
             "lidar2img": metas["lidar2img"][None].astype(np.float32),
             "img2lidar": metas["img2lidar"][None].astype(np.float32),
             "temImg2lidar": metas["temImg2lidar"][None].astype(np.float32),
