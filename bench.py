@@ -28,6 +28,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
+    enable_jax_cache()
     import jax.numpy as jnp
     from selfocc_tpu.configs.experiments import get_config
     from selfocc_tpu.geometry.projection import rays_from_img2lidar

@@ -66,6 +66,8 @@ def get_dataloader(cfg, synthetic: bool):
 def main():
     args = parse_args()
     import jax
+    from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
+    enable_jax_cache()
     import jax.numpy as jnp
     from selfocc_tpu.configs.experiments import get_config
     from selfocc_tpu.models.segmentor import TPVSegmentor
