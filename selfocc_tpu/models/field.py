@@ -150,7 +150,8 @@ class TPVSDFField(nn.Module):
           ``decode``).
         """
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
-        vals = trilinear_sample_cf(volume, grid, padding="zeros")
+        vals = trilinear_sample_cf(volume, grid,
+                                   padding="zeros").astype(jnp.float32)
         return {
             "sdf": vals[..., 0],
             "color_feat": vals[..., 1:1 + self.n_sh],
@@ -161,7 +162,8 @@ class TPVSDFField(nn.Module):
         """SDF-only query — interpolates just channel 0 so gradient taps don't
         gather the full channel stack."""
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
-        return trilinear_sample_cf(volume[:1], grid, padding="zeros")[..., 0]
+        return trilinear_sample_cf(
+            volume[:1], grid, padding="zeros")[..., 0].astype(jnp.float32)
 
     def query_geo_grad(self, volume, xyz):
         """All channels + the metric-space SDF gradient from ONE corner-gather

@@ -150,7 +150,8 @@ def trilinear_sample_cf(vol_cf, hwd, padding: str = "zeros"):
                     wgt = whi * wwi * wdi
                 lin = (jnp.clip(hi, 0, H - 1) * W
                        + jnp.clip(wi, 0, W - 1)) * D + jnp.clip(di, 0, D - 1)
-                term = wgt[None, :] * jnp.take(v_flat, lin, axis=1)  # (C, N)
+                term = wgt.astype(v_flat.dtype)[None, :] * \
+                    jnp.take(v_flat, lin, axis=1)            # (C, N)
                 out = term if out is None else out + term
     return out.T.reshape(*pts_shape, C)
 
@@ -215,8 +216,10 @@ def trilinear_sample_cf_with_grad(vol_cf, hwd, padding: str = "zeros"):
                 gd = td if gd is None else gd + td
 
     grad0 = jnp.stack([gh, gw, gd], axis=-1)
-    return (vals.T.reshape(*pts_shape, C),
-            grad0.reshape(*pts_shape, 3))
+    # gathers may run in bf16 (eval volumes); the NeuS alpha/compositing math
+    # downstream stays fp32
+    return (vals.T.reshape(*pts_shape, C).astype(jnp.float32),
+            grad0.reshape(*pts_shape, 3).astype(jnp.float32))
 
 
 def grid_sample_2d(imgs, xy_norm, padding: str = "zeros"):

@@ -71,10 +71,13 @@ class ChunkedRenderer:
     volume; optionally shards each chunk's ray axis over all devices."""
 
     def __init__(self, model, variables, chunk: int = 32768,
-                 shard: bool = True):
+                 shard: bool = True, volume_dtype: str = "bfloat16"):
         self.model = model
         self.variables = variables
         self.chunk = chunk
+        # the render is HBM-gather-bound; bf16 volumes triple throughput
+        # (alpha/compositing math stays fp32 — see ops/interp.py)
+        self.volume_dtype = volume_dtype
         # variables/volume are jit ARGUMENTS (closure capture would bake the
         # decoded volume + params into the compiled module as constants)
         def _render_fn(v, vol, o, d):
@@ -91,8 +94,10 @@ class ChunkedRenderer:
 
     def prepare(self, imgs, lidar2img, flip=False):
         if not hasattr(self, "_prepare"):
+            import jax.numpy as _jnp
+            dt = _jnp.dtype(self.volume_dtype)
             self._prepare = jax.jit(lambda v, i, l: self.model.apply(
-                v, i, l, method="prepare"))
+                v, i, l, method="prepare").astype(dt))
         return self._prepare(self.variables, imgs, lidar2img)
 
     def render(self, volume, origin, direction) -> Dict[str, np.ndarray]:
