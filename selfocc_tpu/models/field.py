@@ -209,11 +209,13 @@ class TPVSDFField(nn.Module):
                          / (2 * delta))
         return jnp.stack(comps, axis=-1)
 
-    def second_grad(self, volume, xyz, delta: float):
+    def second_grad(self, volume, xyz, delta: float, center=None):
         """Compact numerical second derivative along the 3 axes
         (reference ``use_compact_2nd_grad`` knob, ``neus_head.py:44``):
-        ``(sdf(x+d) + sdf(x-d) - 2 sdf(x)) / d^2`` per axis."""
-        center = self.sdf(volume, xyz)
+        ``(sdf(x+d) + sdf(x-d) - 2 sdf(x)) / d^2`` per axis. Pass ``center``
+        when the SDF at ``xyz`` is already available (saves one query)."""
+        if center is None:
+            center = self.sdf(volume, xyz)
         comps = []
         for axis in range(3):
             e = jnp.zeros((3,), jnp.float32).at[axis].set(delta)

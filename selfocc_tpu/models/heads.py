@@ -236,7 +236,8 @@ class NeuSHead(nn.Module):
 
         if self.return_second_grad:
             out["second_grad"] = self.field.second_grad(
-                volume, positions, self.numerical_gradients_delta)
+                volume, positions, self.numerical_gradients_delta,
+                center=sdf)
 
         if self.return_surface_sdf:
             surf_pts = origin + unit_dir * depth[..., None] * direction_norm
