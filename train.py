@@ -44,7 +44,51 @@ def parse_args():
                          "no tracing; this is the TPU-side replacement)")
     ap.add_argument("--resnet-pth", default="ckpts/resnet50-0676ba61.pth",
                     help="torchvision resnet50 weights (optional)")
+    ap.add_argument("--eval-every-epoch", action="store_true",
+                    help="per-epoch depth eval on val samples (reference "
+                         "train.py:306-373)")
+    ap.add_argument("--eval-samples", type=int, default=4)
     return ap.parse_args()
+
+
+def run_epoch_eval(model, state, cfg, ds, logger, n_samples, epoch):
+    """Per-epoch rendered-depth validation (reference ``train.py:306-373``):
+    fixed-ray render at the training ray grid + DepthMetric table."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from selfocc_tpu.ops.interp import bilinear_sample
+    from selfocc_tpu.utils.eval_lib import ChunkedRenderer, rays_for_cams
+    from selfocc_tpu.geometry.ray_sampler import RaySampler
+    from selfocc_tpu.utils.metrics import DepthMetric
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if state.consts is not None:
+        variables["consts"] = state.consts
+    renderer = ChunkedRenderer(model, variables, chunk=8192, shard=False)
+    rh, rw = cfg.num_rays
+    rays = RaySampler(ray_sample_mode="fixed", ray_number=(rh, rw),
+                      ray_img_size=tuple(cfg.img_size))()
+    metric = DepthMetric(camera_names=[f"cam{i}" for i in range(cfg.num_cams)],
+                         eval_types=["raw"])
+    for i in range(min(n_samples, len(ds))):
+        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        if "depth_loc" not in batch:
+            continue
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        origin, direction = rays_for_cams(batch["img2lidar"], rays)
+        out = renderer.render(volume, origin, direction)
+        depth = out["depth"].reshape(cfg.num_cams, rh, rw)
+        loc = np.asarray(batch["depth_loc"])
+        pix = np.stack([loc[..., 0] * (rw - 1), loc[..., 1] * (rh - 1)], -1)
+        pred_at = np.stack([
+            np.asarray(bilinear_sample(jnp.asarray(depth[c][..., None]),
+                                       jnp.asarray(pix[c]), "border"))[..., 0]
+            for c in range(cfg.num_cams)])
+        metric._after_step(pred_at, np.asarray(batch["depth_gt"]),
+                           np.asarray(batch["depth_mask"]))
+    logger.info(f"=== epoch {epoch} depth eval ===")
+    metric._after_epoch(logger=logger)
 
 
 def get_dataloader(cfg, synthetic: bool):
@@ -177,6 +221,9 @@ def main():
                 break
         save_checkpoint(ckpt_dir, state, epoch + 1, global_iter)
         logger.info(f"epoch {epoch} done; checkpoint saved at {ckpt_dir}")
+        if args.eval_every_epoch:
+            run_epoch_eval(model, state, cfg, ds, logger,
+                           args.eval_samples, epoch)
         if args.max_steps and steps_done >= args.max_steps:
             break
     writer.close()
