@@ -28,6 +28,9 @@ class EncoderConfig:
     pc_range: Tuple[float, ...] = (-40., -40., -1., 40., 40., 5.4)
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    # TPU fast attention: heads share sampling locations (6x fewer gather
+    # rows; deviates from the reference's per-head deformable attention)
+    shared_locations: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,13 +133,20 @@ def _xavier_uniform():
 
 
 class DeformHeads(nn.Module):
-    """Shared query->(sampling offsets, attention weights) heads."""
+    """Shared query->(sampling offsets, attention weights) heads.
+
+    ``shared_locations=True`` is the opt-in TPU fast mode: sampling offsets
+    are averaged across heads so every head gathers the SAME points — 6x
+    fewer gather rows with contiguous H*D payloads (XLA TPU gathers are
+    ~VPU-rate-bound, SURVEY hard part #1). Off by default: it deviates from
+    the reference's per-head deformable attention."""
 
     embed_dims: int
     num_heads: int
     num_levels: int
     num_points: int
     scale_offset_bias: bool = False
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(self, query):
@@ -154,6 +161,9 @@ class DeformHeads(nn.Module):
             bias_init=nn.initializers.zeros,
             name="attention_weights")(query).reshape(B, Q, H, L * P)
         attn = jax.nn.softmax(attn, axis=-1).reshape(B, Q, H, L, P)
+        if self.shared_locations:
+            offsets = jnp.broadcast_to(
+                offsets.mean(axis=2, keepdims=True), offsets.shape)
         return offsets, attn
 
 
@@ -168,6 +178,7 @@ class CrossViewHybridAttention(nn.Module):
     num_points: int
     dropout: float = 0.1
     query_chunk: int = 0
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(self, query, query_pos, ref_points, spatial_shapes,
@@ -184,13 +195,15 @@ class CrossViewHybridAttention(nn.Module):
         q = query + query_pos
         offsets, attn = DeformHeads(
             self.embed_dims, H, 3, self.num_points,
-            scale_offset_bias=True, name="heads")(q)
+            scale_offset_bias=True,
+            shared_locations=self.shared_locations, name="heads")(q)
         normalizer = jnp.asarray(
             [[w, h] for h, w in spatial_shapes], jnp.float32)  # (3, 2)
         loc = ref_points[None, :, None] + \
             offsets / normalizer[None, None, None, :, None, :]
         out = ms_deform_attn(value, spatial_shapes, loc, attn,
-                             query_chunk=self.query_chunk)
+                             query_chunk=self.query_chunk,
+                             shared_locations=self.shared_locations)
         out = nn.Dense(C, kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -215,6 +228,7 @@ class BEVCrossAttention(nn.Module):
     num_points: int
     dropout: float = 0.1
     query_chunk: int = 0
+    shared_locations: bool = False
 
     @nn.compact
     def __call__(self, query, value, ref_cams, masks, spatial_shapes,
@@ -232,7 +246,8 @@ class BEVCrossAttention(nn.Module):
         v = v.reshape(cams, -1, H, D)
         offsets, attn = DeformHeads(
             self.embed_dims, H, self.num_levels, self.num_points,
-            scale_offset_bias=False, name="heads")(query)
+            scale_offset_bias=False,
+            shared_locations=self.shared_locations, name="heads")(query)
         normalizer = jnp.asarray(
             [[w, h] for h, w in spatial_shapes], jnp.float32)
         # reference BEVDeformableAttention broadcasts the P pillar-reference
@@ -242,7 +257,8 @@ class BEVCrossAttention(nn.Module):
             offsets[0][None] / normalizer[None, None, None, :, None, :]
         attn_c = jnp.broadcast_to(attn[0][None], (cams,) + attn.shape[1:])
         out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
-                             query_chunk=self.query_chunk)   # (cams, Q, C)
+                             query_chunk=self.query_chunk,
+                             shared_locations=self.shared_locations)
 
         hit = (masks.sum(-1) > 0).astype(out.dtype)          # (cams, Q)
         slots = (out * hit[..., None]).sum(0)                # (Q, C)
@@ -296,6 +312,7 @@ class TPVFormerLayer(nn.Module):
     dropout: float = 0.1
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    shared_locations: bool = False
     deterministic: bool = True
 
     @nn.compact
@@ -314,6 +331,7 @@ class TPVFormerLayer(nn.Module):
         q = CrossViewHybridAttention(
             self.embed_dims, self.num_heads, self.num_points_self,
             dropout=self.dropout, query_chunk=self.self_query_chunk,
+            shared_locations=self.shared_locations,
             name="self_attn")(
                 q, pos, cross_view_ref, plane_shapes,
                 deterministic=deterministic)
@@ -335,6 +353,7 @@ class TPVFormerLayer(nn.Module):
                 self.embed_dims, self.num_heads, self.num_levels,
                 n_pts, dropout=self.dropout,
                 query_chunk=chunk,
+                shared_locations=self.shared_locations,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -589,6 +608,7 @@ class TPVFormerEncoder(nn.Module):
     pc_range: Sequence[float] = (-40., -40., -1., 40., 40., 5.4)
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    shared_locations: bool = False   # TPU fast attention (see DeformHeads)
 
     @property
     def tpv_size(self):
@@ -673,6 +693,7 @@ class TPVFormerEncoder(nn.Module):
             tpv_size=(H, W, D), dropout=self.dropout,
             self_query_chunk=self.self_query_chunk,
             cross_query_chunk=self.cross_query_chunk,
+            shared_locations=self.shared_locations,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,
                           cross_view_ref, tuple(ref_cams_list),

@@ -85,6 +85,7 @@ class TPVSegmentor(nn.Module):
             pc_range=tuple(e.pc_range),
             self_query_chunk=e.self_query_chunk,
             cross_query_chunk=e.cross_query_chunk,
+            shared_locations=e.shared_locations,
             name="encoder")
         self._build_head(c.head)
 

@@ -78,8 +78,31 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
     return jnp.moveaxis(out.reshape(B, H, Q, D), 1, 2)    # B,Q,H,D
 
 
+def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
+                       spatial_shapes):
+    """Fast path for head-shared sampling locations: ONE gather per
+    (b, q, p) point with the full H*D payload (6x fewer gather rows than the
+    per-head path — XLA TPU gathers are row-rate-bound)."""
+    B, Q, H, Lv, P, _ = sampling_locations.shape
+    D = value_levels[0].shape[-1]
+
+    out = jnp.zeros((B, Q, H, D), dtype=value_levels[0].dtype)
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        # (B, H*D, h*w): all heads' channels as one payload
+        v = value_levels[lvl].reshape(B, H, h * w, D)
+        v = jnp.moveaxis(v, 2, 3).reshape(B, H * D, h * w)
+        loc = sampling_locations[:, :, 0, lvl]           # B,Q,P,2 (head 0)
+        xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
+        samp = jax.vmap(
+            lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
+        samp = samp.reshape(B, H, D, Q, P)
+        w_l = attention_weights[:, :, :, lvl]            # B,Q,H,P
+        out = out + jnp.einsum('bhdqp,bqhp->bqhd', samp, w_l)
+    return out
+
+
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
-                   query_chunk: int = 0):
+                   query_chunk: int = 0, shared_locations: bool = False):
     """Multi-scale deformable attention.
 
     Args:
@@ -90,6 +113,9 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
       attention_weights: (B, Q, H, Lv, P), already softmaxed over Lv*P.
       query_chunk: if > 0, process queries in chunks of this size to bound
         transient memory (padded to a multiple; zero-cost for the padding).
+      shared_locations: all heads sample head-0's locations (TPU fast mode,
+        see ``DeformHeads.shared_locations``) — one gather per point with the
+        full H*D payload.
 
     Returns:
       (B, Q, H * D).
@@ -108,6 +134,11 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
             jnp.moveaxis(value[:, start:start + h * w], 2, 1)
             .reshape(B, H, h, w, D))
         start += h * w
+
+    if shared_locations:
+        out = _msda_dense_shared(value_levels, sampling_locations,
+                                 attention_weights, spatial_shapes)
+        return out.reshape(B, Q, H * D)
 
     if query_chunk <= 0 or query_chunk >= Q:
         out = _msda_dense(value_levels, sampling_locations, attention_weights,

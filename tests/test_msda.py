@@ -59,3 +59,16 @@ def test_msda_query_chunking_equivalence():
         jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att),
         query_chunk=16))
     np.testing.assert_allclose(full, chunked, atol=1e-6)
+
+
+def test_msda_shared_locations_matches_dense():
+    """When every head's locations coincide, the shared-location fast path
+    must equal the per-head path exactly."""
+    value, loc, att, shapes = _random_case(5, q=29, heads=4, d=4, p=3)
+    loc_shared = np.broadcast_to(loc[:, :, :1], loc.shape).copy()
+    ref = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc_shared), jnp.asarray(att)))
+    fast = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc_shared), jnp.asarray(att),
+        shared_locations=True))
+    np.testing.assert_allclose(fast, ref, atol=1e-5)
