@@ -48,7 +48,9 @@ def _bilinear_gather_cf(v_flat, xy, h, w):
     for yi, wyi in ((y0i, 1.0 - wy), (y0i + 1, wy)):
         for xi, wxi in ((x0i, 1.0 - wx), (x0i + 1, wx)):
             valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
-            wgt = (wyi * wxi * valid)[None, :]              # (1, QP)
+            # keep the big (C, QP) product in the payload dtype (bf16 in the
+            # fast path); accumulation across 4 corners stays in that dtype
+            wgt = (wyi * wxi * valid)[None, :].astype(v_flat.dtype)
             lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
             gathered = jnp.take(v_flat, lin, axis=1)        # (C, QP)
             term = wgt * gathered
@@ -82,23 +84,43 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
                        spatial_shapes):
     """Fast path for head-shared sampling locations: ONE gather per
     (b, q, p) point with the full H*D payload (6x fewer gather rows than the
-    per-head path — XLA TPU gathers are row-rate-bound)."""
+    per-head path — XLA TPU gathers are row-rate-bound). Gathered payloads and
+    transients run in bf16 (this is the explicit AMP-style speed mode); the
+    attention reduction accumulates fp32."""
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
 
-    out = jnp.zeros((B, Q, H, D), dtype=value_levels[0].dtype)
+    # every transient is (B, H*D, Q) — big Q axis trailing, zero tile padding
+    out = jnp.zeros((B, H * D, Q), dtype=jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         # (B, H*D, h*w): all heads' channels as one payload
         v = value_levels[lvl].reshape(B, H, h * w, D)
         v = jnp.moveaxis(v, 2, 3).reshape(B, H * D, h * w)
-        loc = sampling_locations[:, :, 0, lvl]           # B,Q,P,2 (head 0)
-        xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
-        samp = jax.vmap(
-            lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
-        samp = samp.reshape(B, H, D, Q, P)
-        w_l = attention_weights[:, :, :, lvl]            # B,Q,H,P
-        out = out + jnp.einsum('bhdqp,bqhp->bqhd', samp, w_l)
-    return out
+        v = v.astype(jnp.bfloat16)
+        attn_l = attention_weights[:, :, :, lvl]          # B,Q,H,P
+        for p in range(P):
+            # per-head attention for this point, channel-expanded (B, H*D, Q)
+            w_p = jnp.repeat(jnp.moveaxis(attn_l[..., p], 1, 2), D, axis=1)
+            loc = sampling_locations[:, :, 0, lvl, p]     # B,Q,2 (head 0)
+            x = loc[..., 0] * w - 0.5
+            y = loc[..., 1] * h - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            wx, wy = x - x0, y - y0
+            x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+            acc = None
+            for yi, wyi in ((y0i, 1 - wy), (y0i + 1, wy)):
+                for xi, wxi in ((x0i, 1 - wx), (x0i + 1, wx)):
+                    valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) &
+                             (yi <= h - 1))
+                    lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+                    g = jax.vmap(lambda vf, i: jnp.take(vf, i, axis=1))(
+                        v, lin)                            # (B, H*D, Q)
+                    cw = (wyi * wxi * valid)[:, None, :].astype(v.dtype)
+                    term = cw * g
+                    acc = term if acc is None else acc + term
+            out = out + acc * w_p
+    return jnp.moveaxis(out.reshape(B, H, D, Q), 3, 1)    # B,Q,H,D
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,

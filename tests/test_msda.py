@@ -71,4 +71,5 @@ def test_msda_shared_locations_matches_dense():
     fast = np.asarray(ms_deform_attn(
         jnp.asarray(value), shapes, jnp.asarray(loc_shared), jnp.asarray(att),
         shared_locations=True))
-    np.testing.assert_allclose(fast, ref, atol=1e-5)
+    # the fast path gathers in bf16 (AMP-style) -> ~3 decimal digits
+    np.testing.assert_allclose(fast, ref, atol=2e-2, rtol=2e-2)
