@@ -87,6 +87,10 @@ class ModelConfig:
     freeze_img_backbone: bool = False
     freeze_img_neck: bool = False
     use_bev_encoder: bool = False                 # BEVFormer variant
+    # 'bfloat16' runs backbone/neck compute in bf16 with fp32 params — the
+    # analog of the reference's env-var amp mode (train.py:134-136); the
+    # encoder/field/renderer fp32 islands are unaffected.
+    compute_dtype: object = None
 
 
 @dataclasses.dataclass(frozen=True)

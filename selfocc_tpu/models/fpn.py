@@ -28,13 +28,15 @@ class FPN(nn.Module):
     start_level: int = 0
     add_extra_convs: str = "on_output"
     relu_before_extra_convs: bool = True
+    dtype: object = None   # bf16 compute (amp analog)
 
     @nn.compact
     def __call__(self, inputs):
         assert len(inputs) == len(self.in_channels)
         used = inputs[self.start_level:]
         laterals = [
-            nn.Conv(self.out_channels, (1, 1), name=f"lateral_{i}")(x)
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(x)
             for i, x in enumerate(used)]
         for i in range(len(laterals) - 1, 0, -1):
             # mmdet upsamples by scale_factor=2 (nearest); crop guards odd sizes
@@ -43,7 +45,7 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up[:, :h, :w]
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-                    name=f"fpn_{i}")(x)
+                    dtype=self.dtype, name=f"fpn_{i}")(x)
             for i, x in enumerate(laterals)]
         # extra output levels (mmdet add_extra_convs='on_output')
         i = len(outs)

@@ -22,27 +22,30 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     bn_axis_name: Optional[str] = None
+    dtype: Optional[str] = None   # bf16 compute (AMP analog); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, axis_name=self.bn_axis_name,
-                                name=name)
+                                dtype=self.dtype, name=name)
         identity = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
         out = nn.relu(bn("bn1")(out))
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=((1, 1), (1, 1)), use_bias=False,
-                      name="conv2")(out)
+                      dtype=self.dtype, name="conv2")(out)
         out = nn.relu(bn("bn2")(out))
         out = nn.Conv(self.planes * 4, (1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = bn("bn3")(out)
         if self.downsample:
             identity = nn.Conv(self.planes * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="ds_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="ds_conv")(x)
             identity = bn("ds_bn")(identity)
         return nn.relu(out + identity)
 
@@ -52,14 +55,17 @@ class ResNet50(nn.Module):
 
     bn_axis_name: Optional[str] = None
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
+    dtype: Optional[str] = None   # bf16 compute (reference amp analog)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                           epsilon=1e-5, axis_name=self.bn_axis_name,
-                          name="bn1")
+                          dtype=self.dtype, name="bn1")
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(bn(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -70,7 +76,7 @@ class ResNet50(nn.Module):
                 stride = 2 if (stage > 0 and blk == 0) else 1
                 x = Bottleneck(
                     planes, stride=stride, downsample=(blk == 0),
-                    bn_axis_name=self.bn_axis_name,
+                    bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}")(x, train=train)
             outs.append(x)
             planes *= 2

@@ -37,11 +37,12 @@ class TPVSegmentor(nn.Module):
             self.img_backbone = UNet2D(out_feature=c.fpn_in_channels[0],
                                        name="img_backbone")
         else:
-            self.img_backbone = ResNet50(name="img_backbone")
+            self.img_backbone = ResNet50(dtype=c.compute_dtype,
+                                         name="img_backbone")
         self.img_neck = FPN(
             in_channels=tuple(c.fpn_in_channels),
             out_channels=c.embed_dims, num_outs=len(c.fpn_in_channels),
-            name="img_neck")
+            dtype=c.compute_dtype, name="img_neck")
         if c.lifter_type == "TPVQueryLifter":
             m = self._encoder_sizes()
             self.lifter = TPVQueryLifter(
@@ -138,6 +139,7 @@ class TPVSegmentor(nn.Module):
         for f in feats:
             if flip:
                 f = f[:, :, ::-1]
+            f = f.astype(jnp.float32)   # encoder embeds/projection are fp32
             out.append(f.reshape(B, N, *f.shape[1:]))
         return out
 

@@ -139,3 +139,26 @@ def test_unet2d_backbone_pyramid():
                                         mutable=['batch_stats']))(variables)
     assert [o.shape for o in outs] == [
         (2, 16, 24, 32), (2, 8, 12, 32), (2, 4, 6, 32), (2, 2, 3, 32)]
+
+
+def test_bf16_compute_dtype_forward():
+    """AMP analog: bf16 backbone/neck compute, fp32 outputs, finite losses."""
+    import dataclasses
+    cfg = tiny_config(sem=False)
+    model_cfg = dataclasses.replace(cfg.model, compute_dtype='bfloat16')
+    model = TPVSegmentor(cfg=model_cfg)
+    rng = jax.random.PRNGKey(0)
+    H, W = cfg.input_size
+    imgs = jax.random.uniform(rng, (1, cfg.num_cams, H, W, 3))
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    variables = jax.jit(lambda: model.init(
+        {'params': rng, 'dropout': jax.random.PRNGKey(1)},
+        imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True))()
+    # params stay fp32
+    leaves = jax.tree_util.tree_leaves(variables['params'])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    out, _ = jax.jit(lambda v: model.apply(
+        v, imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True,
+        rngs={'dropout': rng}, mutable=['batch_stats']))(variables)
+    assert out['ms_depths'][0].dtype == jnp.float32
+    assert np.isfinite(np.asarray(out['ms_depths'][0])).all()

@@ -36,6 +36,9 @@ def parse_args():
     ap.add_argument("--print-freq", type=int, default=50)
     ap.add_argument("--ckpt-freq-iters", type=int, default=0,
                     help="save iter-level checkpoint every N iters (0=off)")
+    ap.add_argument("--amp", action="store_true",
+                    help="bf16 backbone/neck compute (reference env-amp "
+                         "analog; see ModelConfig.compute_dtype)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
     ap.add_argument("--profile", action="store_true",
@@ -125,6 +128,11 @@ def main():
                                              make_train_step)
 
     cfg = get_config(args.py_config)
+    if args.amp:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           compute_dtype="bfloat16"))
     logger = get_logger(args.work_dir)
     writer = ScalarWriter(args.work_dir)
     logger.info(f"config: {cfg.name}; devices: {jax.devices()}")
