@@ -47,7 +47,7 @@ def main():
         ray_number=(4, 6), ray_img_size=tuple(cfg.img_size),
         render_bkgd="white", embed_dims=h.embed_dims, color_dims=h.color_dims,
         sem_dims=h.sem_dims, density_layers=h.density_layers, sh_deg=h.sh_deg,
-        sh_act=h.sh_act, tpv=h.tpv)
+        sh_act=h.sh_act, tpv=h.tpv, use_pallas_weights=h.use_pallas_weights)
 
     rng = jax.random.PRNGKey(0)
     from selfocc_tpu.geometry.mappings import make_mapping

@@ -64,6 +64,7 @@ class HeadConfig:
     trans_kw_eval: Optional[str] = None
     render_bkgd: str = "white"
     train_ray_chunk: int = 4096   # remat'd training-render chunk (0 = dense)
+    use_pallas_weights: bool = True   # MXU cumprod kernel (ops/render_pallas)
     embed_dims: int = 96
     color_dims: int = 0
     sem_dims: int = 0

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from ..geometry.projection import rays_from_img2lidar
 from ..geometry.ray_sampler import RaySampler
+from ..ops.render_pallas import weights_from_alpha_pallas
 from . import neus
 from .field import TPVSDFField
 
@@ -102,6 +103,7 @@ class NeuSHead(nn.Module):
     # the chunk, not the full 48x100x6-ray batch — the TPU answer to the
     # reference's eval-only chunking (neus_head.py:329-385).
     train_ray_chunk: int = 0
+    use_pallas_weights: bool = False
 
     embed_dims: int = 96
     color_dims: int = 0
@@ -191,7 +193,10 @@ class NeuSHead(nn.Module):
         if inv_s is None:
             inv_s = self._inv_s(global_iter)
         alpha = neus.neus_alpha(sdf, grad, unit_dir, segs.deltas, inv_s)
-        weights = neus.weights_from_alpha(alpha)             # (R, S)
+        if self.use_pallas_weights and jax.default_backend() == "tpu":
+            weights = weights_from_alpha_pallas(alpha)       # (R, S), MXU
+        else:
+            weights = neus.weights_from_alpha(alpha)         # (R, S)
         acc = weights.sum(axis=-1)                           # (R,)
 
         out = {

@@ -112,6 +112,7 @@ class TPVSegmentor(nn.Module):
             ray_upper_crop=h.ray_upper_crop,
             ray_x_dsr_max=h.ray_x_dsr_max, ray_y_dsr_max=h.ray_y_dsr_max,
             render_bkgd=h.render_bkgd, train_ray_chunk=h.train_ray_chunk,
+            use_pallas_weights=h.use_pallas_weights,
             embed_dims=h.embed_dims,
             color_dims=h.color_dims, sem_dims=h.sem_dims,
             density_layers=h.density_layers, sh_deg=h.sh_deg,

@@ -15,8 +15,11 @@ TPU notes:
   * ``spatial_shapes`` must be **static** Python ints — levels are unrolled at
     trace time (4 levels in all shipped configs), keeping shapes static.
   * ``query_chunk`` bounds transient memory: the gather materializes
-    (B, Qc, H, P, D) per level instead of the full query set. A fused Pallas
-    kernel with the same signature lives in ``msda_pallas.py``.
+    (B, Qc, H, P, D) per level instead of the full query set.
+  * No Pallas kernel here on purpose: the op is bound by gather row rate, and
+    Mosaic has no faster dynamic-gather primitive than the XLA lowering — the
+    TPU wins come from layout (channel-first, big trailing axis) and from
+    ``shared_locations`` (6x fewer gather rows), both implemented above.
 """
 from __future__ import annotations
 
