@@ -64,7 +64,11 @@ class HeadConfig:
     trans_kw_eval: Optional[str] = None
     render_bkgd: str = "white"
     train_ray_chunk: int = 4096   # remat'd training-render chunk (0 = dense)
-    use_pallas_weights: bool = True   # MXU cumprod kernel (ops/render_pallas)
+    # MXU cumprod kernel (ops/render_pallas): wins 1.4-3x standalone but the
+    # opaque pallas_call blocks XLA's fusion of the NeuS elementwise chain
+    # into the render gathers (measured 29s -> 45s/step on the flagship
+    # training forward), so it is opt-in.
+    use_pallas_weights: bool = False
     embed_dims: int = 96
     color_dims: int = 0
     sem_dims: int = 0

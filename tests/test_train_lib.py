@@ -92,3 +92,22 @@ def test_synthetic_dataset_geometry():
     p = s['img2lidar'][0, 0] @ pix
     back = l2i @ p
     np.testing.assert_allclose(back, pix, atol=1e-4)
+
+
+def test_gradient_accumulation_defers_updates(tiny_setup):
+    """optax.MultiSteps path (--gradient-accumulation): params must be
+    unchanged after the first micro-step and updated after the k-th."""
+    cfg, model, batch, _ = tiny_setup
+    rng = jax.random.PRNGKey(3)
+    state = init_train_state(model, cfg, rng, batch, grad_accumulation=2)
+    step = make_train_step(model, cfg)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+
+    state, m1 = step(state, batch, jax.random.PRNGKey(4))
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p0))
+
+    state, m2 = step(state, batch, jax.random.PRNGKey(5))
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
+    assert np.isfinite(float(m2["total"]))
