@@ -23,6 +23,8 @@ def parse_args():
     ap.add_argument("--py-config", required=True)
     ap.add_argument("--work-dir", default="work_dirs/eval_depth")
     ap.add_argument("--ckpt-path", default="")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference-SelfOcc .pth to import")
     ap.add_argument("--batch", type=int, default=32768,
                     help="rays per render chunk (reference --batch 90000)")
     ap.add_argument("--synthetic", action="store_true")
@@ -55,7 +57,8 @@ def main():
     ds = get_dataloader(cfg, args.synthetic)
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
-                                       args.seed)
+                                       args.seed,
+                                       torch_ckpt=args.torch_ckpt)
 
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
                                shard=not args.no_shard)

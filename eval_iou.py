@@ -36,6 +36,8 @@ def parse_args():
     ap.add_argument("--py-config", required=True)
     ap.add_argument("--work-dir", default="work_dirs/eval_iou")
     ap.add_argument("--ckpt-path", default="")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference-SelfOcc .pth to import")
     ap.add_argument("--resolution", type=float, default=0.4)
     ap.add_argument("--thresh", type=float, default=0.0)
     ap.add_argument("--occ3d", action="store_true")
@@ -96,7 +98,8 @@ def main():
     ds = get_dataloader(cfg, args.synthetic)
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
-                                       args.seed)
+                                       args.seed,
+                                       torch_ckpt=args.torch_ckpt)
 
     aabb = SCENE_SIZE_AABBS.get(args.scene_size) or list(
         cfg.model.head.roi_aabb)

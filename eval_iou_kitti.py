@@ -23,6 +23,8 @@ def parse_args():
     ap.add_argument("--py-config", default="kitti_occ")
     ap.add_argument("--work-dir", default="work_dirs/eval_iou_kitti")
     ap.add_argument("--ckpt-path", default="")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference-SelfOcc .pth to import")
     ap.add_argument("--kitti-root", default="data/kitti")
     ap.add_argument("--resolution", type=float, default=0.2)
     ap.add_argument("--thresh", type=float, default=0.0)
@@ -52,7 +54,8 @@ def main():
     ds = get_dataloader(cfg, args.synthetic)
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
-                                       args.seed)
+                                       args.seed,
+                                       torch_ckpt=args.torch_ckpt)
 
     occ_fn = jax.jit(lambda v, i, l: model.apply(
         v, i, l, aabb=KITTI_AABB, resolution=args.resolution,

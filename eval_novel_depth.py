@@ -21,6 +21,8 @@ def parse_args():
     ap.add_argument("--py-config", required=True)
     ap.add_argument("--work-dir", default="work_dirs/eval_novel_depth")
     ap.add_argument("--ckpt-path", default="")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference-SelfOcc .pth to import")
     ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
@@ -49,7 +51,8 @@ def main():
     ds = get_dataloader(cfg, args.synthetic)
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
-                                       args.seed)
+                                       args.seed,
+                                       torch_ckpt=args.torch_ckpt)
     renderer = ChunkedRenderer(model, variables, chunk=args.batch)
     rays = eval_ray_grid(cfg)
     rh, rw = cfg.eval_num_rays

@@ -42,10 +42,29 @@ def init_variables(model, cfg: Config, sample: Dict, seed: int = 42):
         rng, 0, True))
 
 
-def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42):
+def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42,
+                           torch_ckpt: str = ""):
     """Random-init then restore params/batch_stats from an Orbax dir when
-    given (reference ``load_from`` path, ``train.py:164-170``)."""
+    given (reference ``load_from`` path, ``train.py:164-170``).
+
+    ``torch_ckpt`` instead overlays a reference-SelfOcc ``.pth``
+    (``ref_import.convert_reference_state_dict``) — covers backbone, neck,
+    lifter, encoder, deviation; unmatched keys are logged."""
     variables = init_variables(model, cfg, sample, seed)
+    if torch_ckpt:
+        import logging
+        import torch
+        from .ref_import import convert_reference_state_dict, merge_imported
+        sd = torch.load(torch_ckpt, map_location="cpu", weights_only=False)
+        sd = sd.get("state_dict", sd)
+        sd = {k[len("module."):] if k.startswith("module.") else k: v
+              for k, v in sd.items()}
+        params, stats, unmatched = convert_reference_state_dict(sd)
+        if unmatched:
+            logging.getLogger("selfocc").warning(
+                "torch ckpt: %d keys not imported (first: %s)",
+                len(unmatched), unmatched[:5])
+        return merge_imported(variables, params, stats)
     if ckpt_path:
         from .train_lib import TrainState, make_optimizer
         from .checkpoint import load_checkpoint

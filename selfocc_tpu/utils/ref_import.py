@@ -1,0 +1,227 @@
+"""Import a reference-SelfOcc torch checkpoint into this framework's params.
+
+The reference's ``state_dict`` layout is fixed by its module tree:
+
+  * ``img_backbone.*``      — mmdet ResNet-50, torchvision naming
+                              (``model/segmentor/base_segmentor.py:21``)
+  * ``img_neck.lateral_convs.{i}.conv.* / fpn_convs.{i}.conv.*``
+                              — mmdet FPN
+  * ``lifter.tpv_hw|tpv_zh|tpv_wz`` — ``model/lifter/tpv_query_lifter.py:23-25``
+    (``lifter.bev`` for the BEV variant, ``bev_query_lifter.py:21``;
+    ``lifter.position_layer_{hw,zh,wz}`` for ``tpv_pos_lifter.py:76-78``)
+  * ``encoder.level_embeds / cams_embeds``
+                              — ``tpvformer_encoder.py:122-124``
+  * ``encoder.positional_encoding.position_layer_{hw,zh,wz}.*``
+                              — ``tpvformer_pos_embed.py:50-52``
+  * ``encoder.layers.{n}.attentions.0.*`` — CrossViewHybridAttention, an mmcv
+    ``MultiScaleDeformableAttention`` (``cross_view_hybrid_attention.py:12``):
+    ``sampling_offsets / attention_weights / value_proj / output_proj``
+  * ``encoder.layers.{n}.attentions.1.attn_{hw,zh,wz}.*`` — image cross
+    attention (``tpvformer/attention/image_cross_attention.py:36-69``), each an
+    outer ``output_proj`` plus ``deformable_attention.{sampling_offsets,
+    attention_weights,value_proj}``
+    (``bevformer/attention/image_cross_attention.py:218-223``)
+  * ``encoder.layers.{n}.ffns.0.layers.0.0 / layers.1`` — mmcv FFN Linears
+  * ``encoder.layers.{n}.norms.{j}`` — LayerNorms
+  * ``head.model.field.deviation_network.variance`` — NeuS inv_s
+
+Transforms: torch Linear ``(out, in)`` -> flax kernel ``(in, out)``; torch
+Conv ``OIHW`` -> flax ``HWIO``; LayerNorm ``weight`` -> ``scale``; the N
+encoder layers are STACKED along a new leading axis to match this framework's
+``nn.scan`` layout (one compiled layer body, params ``(N, ...)``).
+
+Both DeformHeads flatten offsets/weights as ``(heads, levels, points, 2)`` —
+the same order as mmcv (``multi_scale_deform_attn.py`` ``.view(bs, nq, heads,
+levels, points, 2)``) — so Linear weights copy over with only a transpose.
+
+NOT covered (keys are defined by the authors' private sdfstudio fork, absent
+from the reference repo): the field decode MLP (``head.model.field.*`` apart
+from the deviation network) — pass ``extra`` with explicit (ref_key ->
+(our_path, transform)) entries, and ``head.flow_net.*`` (the reference uses
+BatchNorm2d where this framework's FlowNet uses LayerNorm — not
+weight-compatible by design; see ``models/heads.py:FlowNet``).
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.resnet import convert_torch_resnet50
+
+
+def _lin_w(t):
+    return jnp.asarray(np.asarray(t).T)
+
+
+def _conv_w(t):
+    return jnp.asarray(np.transpose(np.asarray(t), (2, 3, 1, 0)))
+
+
+def _arr(t):
+    return jnp.asarray(np.asarray(t))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+# per-layer encoder sub-keys: reference suffix -> (our suffix path, transform)
+_LAYER_MAP = {}
+for _ours, _ref in [("self_attn", "attentions.0")]:
+    _LAYER_MAP.update({
+        f"{_ref}.sampling_offsets.weight":
+            ((_ours, "heads", "sampling_offsets", "kernel"), _lin_w),
+        f"{_ref}.sampling_offsets.bias":
+            ((_ours, "heads", "sampling_offsets", "bias"), _arr),
+        f"{_ref}.attention_weights.weight":
+            ((_ours, "heads", "attention_weights", "kernel"), _lin_w),
+        f"{_ref}.attention_weights.bias":
+            ((_ours, "heads", "attention_weights", "bias"), _arr),
+        f"{_ref}.value_proj.weight": ((_ours, "value_proj", "kernel"), _lin_w),
+        f"{_ref}.value_proj.bias": ((_ours, "value_proj", "bias"), _arr),
+        f"{_ref}.output_proj.weight": ((_ours, "output_proj", "kernel"), _lin_w),
+        f"{_ref}.output_proj.bias": ((_ours, "output_proj", "bias"), _arr),
+    })
+for _i, _plane in enumerate(("hw", "zh", "wz")):
+    _ours = f"cross_attn_{_i}"
+    _ref = f"attentions.1.attn_{_plane}"
+    _LAYER_MAP.update({
+        f"{_ref}.deformable_attention.sampling_offsets.weight":
+            ((_ours, "heads", "sampling_offsets", "kernel"), _lin_w),
+        f"{_ref}.deformable_attention.sampling_offsets.bias":
+            ((_ours, "heads", "sampling_offsets", "bias"), _arr),
+        f"{_ref}.deformable_attention.attention_weights.weight":
+            ((_ours, "heads", "attention_weights", "kernel"), _lin_w),
+        f"{_ref}.deformable_attention.attention_weights.bias":
+            ((_ours, "heads", "attention_weights", "bias"), _arr),
+        f"{_ref}.deformable_attention.value_proj.weight":
+            ((_ours, "value_proj", "kernel"), _lin_w),
+        f"{_ref}.deformable_attention.value_proj.bias":
+            ((_ours, "value_proj", "bias"), _arr),
+        f"{_ref}.output_proj.weight": ((_ours, "output_proj", "kernel"), _lin_w),
+        f"{_ref}.output_proj.bias": ((_ours, "output_proj", "bias"), _arr),
+    })
+_LAYER_MAP.update({
+    "ffns.0.layers.0.0.weight": (("ffn", "fc1", "kernel"), _lin_w),
+    "ffns.0.layers.0.0.bias": (("ffn", "fc1", "bias"), _arr),
+    "ffns.0.layers.1.weight": (("ffn", "fc2", "kernel"), _lin_w),
+    "ffns.0.layers.1.bias": (("ffn", "fc2", "bias"), _arr),
+})
+for _j in range(3):
+    _LAYER_MAP[f"norms.{_j}.weight"] = ((f"norm{_j + 1}", "scale"), _arr)
+    _LAYER_MAP[f"norms.{_j}.bias"] = ((f"norm{_j + 1}", "bias"), _arr)
+
+_LAYER_RE = re.compile(r"^encoder\.layers\.(\d+)\.(.+)$")
+
+# top-level (non-layer) keys
+_TOP_MAP: Dict[str, Tuple[Tuple[str, ...], Callable]] = {
+    "encoder.level_embeds": (("encoder", "level_embeds"), _arr),
+    "encoder.cams_embeds": (("encoder", "cams_embeds"), _arr),
+    "lifter.tpv_hw": (("lifter", "tpv_hw"), _arr),
+    "lifter.tpv_zh": (("lifter", "tpv_zh"), _arr),
+    "lifter.tpv_wz": (("lifter", "tpv_wz"), _arr),
+    "lifter.bev": (("lifter", "bev"), _arr),
+    "head.model.field.deviation_network.variance":
+        (("head", "field", "deviation", "variance"), _arr),
+}
+for _p in ("hw", "zh", "wz"):
+    for _owner in ("encoder.positional_encoding", "lifter"):
+        _ours_owner = tuple(_owner.split("."))
+        _TOP_MAP[f"{_owner}.position_layer_{_p}.weight"] = (
+            _ours_owner + (f"position_layer_{_p}", "kernel"), _lin_w)
+        _TOP_MAP[f"{_owner}.position_layer_{_p}.bias"] = (
+            _ours_owner + (f"position_layer_{_p}", "bias"), _arr)
+
+_NECK_RE = re.compile(r"^img_neck\.(lateral|fpn)_convs\.(\d+)\.conv\.(weight|bias)$")
+
+
+def convert_reference_state_dict(
+        state_dict: Dict[str, Any],
+        extra: Optional[Dict[str, Tuple[Tuple[str, ...], Callable]]] = None,
+):
+    """Convert a reference-SelfOcc ``state_dict`` to (params, batch_stats,
+    unmatched_keys).
+
+    ``extra`` supplies mappings for keys this repo cannot derive (the
+    sdfstudio-fork field MLP); entries look like
+    ``{"head.model.field.glin0.weight": (("head","field","density_0","kernel"),
+    ref_import._lin_w)}``.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    unmatched = []
+
+    backbone_sd = {k[len("img_backbone."):]: v for k, v in state_dict.items()
+                   if k.startswith("img_backbone.")}
+    if backbone_sd:
+        bb_params, bb_stats = convert_torch_resnet50(backbone_sd)
+        params["img_backbone"] = bb_params
+        stats["img_backbone"] = bb_stats
+
+    # encoder layers: collect per-layer, then stack to the nn.scan layout
+    per_layer: Dict[int, Dict[Tuple[str, ...], Any]] = {}
+
+    for key, val in state_dict.items():
+        if key.startswith("img_backbone."):
+            continue
+        if extra and key in extra:
+            path, fn = extra[key]
+            _set(params, path, fn(val))
+            continue
+        if key in _TOP_MAP:
+            path, fn = _TOP_MAP[key]
+            _set(params, path, fn(val))
+            continue
+        m = _NECK_RE.match(key)
+        if m:
+            kind, i, wb = m.group(1), int(m.group(2)), m.group(3)
+            leaf = "kernel" if wb == "weight" else "bias"
+            fn = _conv_w if wb == "weight" else _arr
+            _set(params, ("img_neck", f"{kind}_{i}", leaf), fn(val))
+            continue
+        m = _LAYER_RE.match(key)
+        if m and m.group(2) in _LAYER_MAP:
+            path, fn = _LAYER_MAP[m.group(2)]
+            per_layer.setdefault(int(m.group(1)), {})[path] = fn(val)
+            continue
+        unmatched.append(key)
+
+    if per_layer:
+        n_layers = max(per_layer) + 1
+        paths = sorted(per_layer[0], key="/".join)
+        for path in paths:
+            stacked = jnp.stack([per_layer[i][path] for i in range(n_layers)])
+            _set(params, ("encoder", "layers") + path, stacked)
+
+    return params, stats, unmatched
+
+
+def merge_imported(variables: Dict[str, Any], imported_params: Dict[str, Any],
+                   imported_stats: Dict[str, Any]):
+    """Overlay imported subtrees onto freshly-initialised ``variables``,
+    asserting shape agreement leaf-by-leaf."""
+    import jax
+
+    def overlay(dst, src, scope):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                assert k in dst, f"{scope}/{k} missing in model"
+                overlay(dst[k], v, f"{scope}/{k}")
+            else:
+                assert k in dst, f"{scope}/{k} missing in model"
+                assert dst[k].shape == v.shape, \
+                    f"{scope}/{k}: model {dst[k].shape} vs ckpt {v.shape}"
+                dst[k] = v.astype(dst[k].dtype)
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # copy
+    overlay(variables["params"], imported_params, "params")
+    if imported_stats:
+        overlay(variables.setdefault("batch_stats", {}), imported_stats,
+                "batch_stats")
+    return variables

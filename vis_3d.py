@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--py-config", required=True)
     ap.add_argument("--work-dir", default="work_dirs/vis_3d")
     ap.add_argument("--ckpt-path", default="")
+    ap.add_argument("--torch-ckpt", default="",
+                    help="reference-SelfOcc .pth to import")
     ap.add_argument("--resolution", type=float, default=0.4)
     ap.add_argument("--thresh", type=float, default=0.0)
     ap.add_argument("--sem", action="store_true")
@@ -62,7 +64,8 @@ def main():
     ds = get_dataloader(cfg, args.synthetic)
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
-                                       args.seed)
+                                       args.seed,
+                                       torch_ckpt=args.torch_ckpt)
     aabb = list(cfg.model.head.roi_aabb)
     occ_fn = jax.jit(lambda v, i, l: model.apply(
         v, i, l, aabb=tuple(aabb), resolution=args.resolution,
