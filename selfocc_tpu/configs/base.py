@@ -69,6 +69,8 @@ class HeadConfig:
     # into the render gathers (measured 29s -> 45s/step on the flagship
     # training forward), so it is opt-in.
     use_pallas_weights: bool = False
+    num_samples_importance: int = 0   # reference neus_head.py:31 (0 shipped)
+    num_upsample_steps: int = 4
     embed_dims: int = 96
     color_dims: int = 0
     sem_dims: int = 0

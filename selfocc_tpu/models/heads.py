@@ -104,6 +104,12 @@ class NeuSHead(nn.Module):
     # reference's eval-only chunking (neus_head.py:329-385).
     train_ray_chunk: int = 0
     use_pallas_weights: bool = False
+    # NeuS variance-guided hierarchical sampling (reference neus_head.py:31,
+    # 137 `num_samples_importance`; 0 in every shipped config). When > 0,
+    # `num_upsample_steps` rounds of num_samples_importance/steps det-PDF
+    # samples are merged into the uniform set, with fixed inv_s 64*2^i.
+    num_samples_importance: int = 0
+    num_upsample_steps: int = 4
 
     embed_dims: int = 96
     color_dims: int = 0
@@ -178,6 +184,20 @@ class NeuSHead(nn.Module):
         segs = neus.sample_uniform(near, far, self.num_samples, sample_rng)
 
         mids = segs.mids                                     # (R, S)
+        deltas = segs.deltas
+        if self.num_samples_importance > 0:
+            n_per = max(self.num_samples_importance
+                        // self.num_upsample_steps, 1)
+            ts = mids
+            for i in range(self.num_upsample_steps):
+                pos = origin[:, None, :] + unit_dir[:, None, :] * ts[..., None]
+                sdf_c = self.field.sdf(volume, pos)
+                new_ts = neus.upsample_ts(ts, sdf_c, n_per, 64.0 * 2 ** i)
+                ts = neus.merge_ts(ts, new_ts)
+            mids = ts                                        # (R, S + Si)
+            deltas = jnp.concatenate(
+                [jnp.diff(mids, axis=-1),
+                 jnp.maximum(far[:, None] - mids[:, -1:], 1e-4)], axis=-1)
         positions = origin[:, None, :] + unit_dir[:, None, :] * mids[..., None]
 
         if self.use_numerical_gradients:
@@ -192,7 +212,7 @@ class NeuSHead(nn.Module):
 
         if inv_s is None:
             inv_s = self._inv_s(global_iter)
-        alpha = neus.neus_alpha(sdf, grad, unit_dir, segs.deltas, inv_s)
+        alpha = neus.neus_alpha(sdf, grad, unit_dir, deltas, inv_s)
         if self.use_pallas_weights and jax.default_backend() == "tpu":
             weights = weights_from_alpha_pallas(alpha)       # (R, S), MXU
         else:
@@ -211,7 +231,7 @@ class NeuSHead(nn.Module):
         depth = neus.composite(weights, mids[..., None])[..., 0]
         out["depth"] = depth / direction_norm[:, 0]
         out["ts"] = mids / direction_norm
-        out["deltas"] = segs.deltas / direction_norm
+        out["deltas"] = deltas / direction_norm
 
         if self.color_dims > 0:
             rgb_samples = self.field.color(geo["color_feat"], unit_dir[:, None, :])

@@ -82,6 +82,65 @@ def sample_uniform(near, far, num_samples: int,
     return RaySegments(starts=t[:, :-1], ends=t[:, 1:], nears=near, fars=far)
 
 
+def sample_pdf(ts, weights, n_new: int):
+    """Deterministic inverse-CDF sampling of ``n_new`` new ts per ray.
+
+    ``ts`` (R, S) are existing sample positions (the bins), ``weights``
+    (R, S-1) the per-interval importance.  Deterministic mid-quantile draws
+    (the NeuS ``up_sample`` uses det sampling during its upsample rounds).
+    """
+    R, S = ts.shape
+    w = weights + 1e-5
+    pdf = w / w.sum(axis=-1, keepdims=True)
+    cdf = jnp.concatenate(
+        [jnp.zeros((R, 1), ts.dtype), jnp.cumsum(pdf, axis=-1)], axis=-1)
+    u = (jnp.arange(n_new, dtype=ts.dtype) + 0.5) / n_new
+    u = jnp.broadcast_to(u[None], (R, n_new))
+    idx = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side='right'))(cdf, u)
+    below = jnp.clip(idx - 1, 0, S - 1)
+    above = jnp.clip(idx, 0, S - 1)
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    t_b = jnp.take_along_axis(ts, below, axis=-1)
+    t_a = jnp.take_along_axis(ts, above, axis=-1)
+    denom = jnp.where(cdf_a - cdf_b < 1e-8, 1.0, cdf_a - cdf_b)
+    frac = (u - cdf_b) / denom
+    return t_b + frac * (t_a - t_b)
+
+
+def upsample_ts(ts, sdf, n_new: int, inv_s: float):
+    """One NeuS up-sample round (Wang et al. 2021 ``renderer.up_sample``; the
+    reference head exposes it via ``num_samples_importance``,
+    ``neus_head.py:31,137`` — 0 in every shipped config): estimate
+    section-mid SDF with a monotonically-clamped slope, turn it into alphas
+    with a FIXED sharpness ``inv_s``, and importance-sample the resulting
+    weights.  Returns ``n_new`` new ts per ray (unsorted w.r.t. ``ts``)."""
+    prev_sdf, next_sdf = sdf[:, :-1], sdf[:, 1:]
+    prev_t, next_t = ts[:, :-1], ts[:, 1:]
+    mid_sdf = (prev_sdf + next_sdf) * 0.5
+    cos_val = (next_sdf - prev_sdf) / (next_t - prev_t + 1e-5)
+    # monotone clamp: a section's slope may not exceed any earlier one
+    # (NeuS's stack-min trick) and only negative slopes produce density
+    prev_cos = jnp.concatenate(
+        [jnp.zeros_like(cos_val[:, :1]), cos_val[:, :-1]], axis=-1)
+    cos_val = jnp.minimum(cos_val, prev_cos)
+    cos_val = jnp.clip(cos_val, -1e3, 0.0)
+    dist = next_t - prev_t
+    prev_esti = mid_sdf - cos_val * dist * 0.5
+    next_esti = mid_sdf + cos_val * dist * 0.5
+    prev_cdf = jax.nn.sigmoid(prev_esti * inv_s)
+    next_cdf = jax.nn.sigmoid(next_esti * inv_s)
+    alpha = jnp.clip((prev_cdf - next_cdf + 1e-5) / (prev_cdf + 1e-5),
+                     0.0, 1.0)
+    w = weights_from_alpha(alpha)
+    return sample_pdf(ts, w, n_new)
+
+
+def merge_ts(ts, new_ts):
+    """Merge + sort sample positions along each ray (static shapes)."""
+    return jnp.sort(jnp.concatenate([ts, new_ts], axis=-1), axis=-1)
+
+
 def neus_alpha(sdf, grad, directions, deltas, inv_s, cos_anneal_ratio=1.0):
     """SDF -> per-sample opacity via the NeuS logistic-CDF section estimate.
 

@@ -113,6 +113,8 @@ class TPVSegmentor(nn.Module):
             ray_x_dsr_max=h.ray_x_dsr_max, ray_y_dsr_max=h.ray_y_dsr_max,
             render_bkgd=h.render_bkgd, train_ray_chunk=h.train_ray_chunk,
             use_pallas_weights=h.use_pallas_weights,
+            num_samples_importance=h.num_samples_importance,
+            num_upsample_steps=h.num_upsample_steps,
             embed_dims=h.embed_dims,
             color_dims=h.color_dims, sem_dims=h.sem_dims,
             density_layers=h.density_layers, sh_deg=h.sh_deg,

@@ -228,3 +228,52 @@ def test_query_geo_grad_matches_autodiff():
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ad), atol=1e-4)
     np.testing.assert_allclose(np.asarray(geo['sdf']),
                                np.asarray(field.sdf(vol, pts)), atol=1e-5)
+
+
+def test_importance_sampling_concentrates_near_surface():
+    """NeuS up-sampling (num_samples_importance>0): new ts must be valid,
+    sorted, and denser around the SDF zero crossing than uniform."""
+    from selfocc_tpu.models import neus
+    R, S = 8, 32
+    near = jnp.zeros((R,))
+    far = jnp.full((R,), 10.0)
+    segs = neus.sample_uniform(near, far, S, None)
+    ts = segs.mids
+    surface = 6.0
+    sdf = surface - ts                       # plane at t=6, unit slope
+    new_ts = neus.upsample_ts(ts, sdf, 16, 64.0)
+    assert new_ts.shape == (R, 16)
+    merged = neus.merge_ts(ts, new_ts)
+    assert merged.shape == (R, S + 16)
+    assert np.all(np.diff(np.asarray(merged), axis=-1) >= 0)
+    # fraction of NEW samples within 1m of the surface should far exceed
+    # the uniform fraction (2/10)
+    frac = float(np.mean(np.abs(np.asarray(new_ts) - surface) < 1.0))
+    assert frac > 0.6, frac
+
+
+def test_render_rays_with_importance_samples():
+    """Head renders with hierarchical sampling: (R, S+Si) sample tensors,
+    finite depth close to the uniform-only depth."""
+    head = make_head()
+    rng = jax.random.PRNGKey(0)
+    rep = make_rep(rng, head)
+    img2lidar = simple_cameras()
+    variables = jax.jit(lambda: head.init(
+        {'params': rng, 'dropout': rng}, rep, img2lidar, rng, 0, True))()
+    volume = jax.jit(lambda v: head.apply(v, rep, method='prepare'))(variables)
+    h2 = head.clone(num_samples_importance=8, num_upsample_steps=2)
+    origin = jnp.zeros((16, 3))
+    direction = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    out = jax.jit(lambda v, vol, o, d: h2.apply(
+        v, vol, o, d, train=False, method='render_rays'))(
+        variables, volume, origin, direction)
+    S = head.num_samples + 8
+    assert out['weights'].shape == (16, S)
+    assert out['ts'].shape == (16, S)
+    assert np.isfinite(np.asarray(out['depth'])).all()
+    base = jax.jit(lambda v, vol, o, d: head.apply(
+        v, vol, o, d, train=False, method='render_rays'))(
+        variables, volume, origin, direction)
+    np.testing.assert_allclose(np.asarray(out['depth']),
+                               np.asarray(base['depth']), atol=1.0)
