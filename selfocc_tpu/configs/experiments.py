@@ -321,6 +321,21 @@ def tiny() -> Config:
         warmup_iters=5, eval_num_rays=(8, 12))
 
 
+def nuscenes_occ_fast() -> Config:
+    """TPU fast recipe: the flagship ``nuscenes_occ`` with the two measured
+    speed modes enabled — head-shared deformable sampling locations
+    (encoder forward 27s -> 3.9s on v5e, ~7x; deviates from per-head
+    locations) and bf16 backbone/neck compute (AMP analog). Everything else
+    (losses, schedule, field, renderer) is identical to ``nuscenes_occ``."""
+    cfg = nuscenes_occ()
+    model = dataclasses.replace(
+        cfg.model,
+        compute_dtype="bfloat16",
+        encoder=dataclasses.replace(cfg.model.encoder,
+                                    shared_locations=True))
+    return dataclasses.replace(cfg, name="nuscenes_occ_fast", model=model)
+
+
 _CONFIGS = {
     "tiny": tiny,
     "nuscenes_occ": nuscenes_occ,
@@ -330,6 +345,7 @@ _CONFIGS = {
     "kitti_novel_depth": kitti_novel_depth,
     "kitti_raw_depth": kitti_raw_depth,
     "nuscenes_occ_bev": nuscenes_occ_bev,
+    "nuscenes_occ_fast": nuscenes_occ_fast,
 }
 
 
