@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16",
                     help="field volume dtype; the render is HBM-gather-bound, bf16 triples throughput")
+    ap.add_argument("--bundle", action="store_true", default=True,
+                    help="corner-bundled trilinear sampling (one fat gather "
+                         "per sample; rows are the bottleneck)")
+    ap.add_argument("--no-bundle", dest="bundle", action="store_false")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main():
         ray_number=(4, 6), ray_img_size=tuple(cfg.img_size),
         render_bkgd="white", embed_dims=h.embed_dims, color_dims=h.color_dims,
         sem_dims=h.sem_dims, density_layers=h.density_layers, sh_deg=h.sh_deg,
-        sh_act=h.sh_act, tpv=h.tpv, use_pallas_weights=h.use_pallas_weights)
+        sh_act=h.sh_act, tpv=h.tpv, use_pallas_weights=h.use_pallas_weights,
+        bundle_volume=args.bundle)
 
     rng = jax.random.PRNGKey(0)
     from selfocc_tpu.geometry.mappings import make_mapping

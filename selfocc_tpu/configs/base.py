@@ -31,6 +31,7 @@ class EncoderConfig:
     # TPU fast attention: heads share sampling locations (6x fewer gather
     # rows; deviates from the reference's per-head deformable attention)
     shared_locations: bool = False
+    remat_layers: bool = True   # recompute layers in backward (v5e OOM fix)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +71,7 @@ class HeadConfig:
     # training forward), so it is opt-in.
     use_pallas_weights: bool = False
     num_samples_importance: int = 0   # reference neus_head.py:31 (0 shipped)
+    bundle_volume: bool = False       # one-fat-gather trilinear (TPU, 1.5x)
     num_upsample_steps: int = 4
     embed_dims: int = 96
     color_dims: int = 0

@@ -462,6 +462,7 @@ class BEVFormerEncoder(nn.Module):
     num_points_cross: int = 8
     num_points_self: int = 12
     num_layers: int = 4
+    remat_layers: bool = True
     feedforward_channels: int = 192
     dropout: float = 0.1
     pos_num_freqs: Sequence[int] = (12, 12, 12)
@@ -537,8 +538,10 @@ class BEVFormerEncoder(nn.Module):
 
         ref_2d = self.variable("consts", "ref_2d", build_ref2d).value
 
+        BodyB = nn.remat(BEVFormerLayer, prevent_cse=False) \
+            if self.remat_layers else BEVFormerLayer
         ScanLayers = nn.scan(
-            BEVFormerLayer,
+            BodyB,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,
@@ -602,6 +605,7 @@ class TPVFormerEncoder(nn.Module):
     num_points_cross: Sequence[int] = (64, 64, 8)
     num_points_self: int = 16
     num_layers: int = 4
+    remat_layers: bool = True
     feedforward_channels: int = 192
     dropout: float = 0.1
     pos_num_freqs: Sequence[int] = (12, 12, 12)
@@ -677,8 +681,14 @@ class TPVFormerEncoder(nn.Module):
             lambda: get_cross_view_ref_points(
                 H, W, D, (self.num_points_self,) * 3)).value
 
+        # remat each layer: the flagship BACKWARD otherwise keeps every
+        # layer's deformable-attention transients live and OOMs a 16 GB v5e
+        # (observed on the fused train step); recompute-in-backward bounds
+        # activations to one layer. Forward-only cost: zero.
+        Body = nn.remat(TPVFormerLayer, prevent_cse=False) \
+            if self.remat_layers else TPVFormerLayer
         ScanLayers = nn.scan(
-            TPVFormerLayer,
+            Body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=nn.broadcast,

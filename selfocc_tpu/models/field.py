@@ -191,6 +191,40 @@ class TPVSDFField(nn.Module):
             "sem_logits": vals[..., 1 + self.n_sh:],
         }, grad
 
+    # ---------------------------------------------- corner-bundled variants
+    def query_geo_grad_bundled(self, bundle, vol_shape, xyz):
+        """`query_geo_grad` against a pre-bundled volume
+        (``ops.interp.bundle_corners_cf``): ONE fat gather per sample instead
+        of 8 — XLA TPU gathers are row-rate-bound (docs/PERFORMANCE.md)."""
+        from ..ops.interp import trilinear_sample_cf_bundled_with_grad
+        xyz = xyz.astype(jnp.float32)
+        grid_fn = self.mapping.meter2grid
+        grid = grid_fn(xyz)
+        vals, grad_grid = trilinear_sample_cf_bundled_with_grad(
+            bundle, vol_shape, grid)
+        cols = []
+        for k in range(3):
+            e = jnp.zeros((3,), jnp.float32).at[k].set(1.0)
+            tangent = jnp.broadcast_to(e, xyz.shape)
+            _, jcol = jax.jvp(grid_fn, (xyz,), (tangent,))
+            cols.append(jnp.sum(grad_grid * jcol, axis=-1))
+        grad = jnp.stack(cols, axis=-1)
+        return {
+            "sdf": vals[..., 0],
+            "color_feat": vals[..., 1:1 + self.n_sh],
+            "sem_logits": vals[..., 1 + self.n_sh:],
+        }, grad
+
+    def sdf_bundled(self, bundle, vol_shape, xyz):
+        """SDF-only query against a bundled volume (channel-0 block rows)."""
+        from ..ops.interp import trilinear_sample_cf_bundled
+        C = vol_shape[0]
+        M = bundle.shape[-1]
+        b0 = bundle.reshape(8, C, M)[:, :1].reshape(8, M)
+        grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
+        return trilinear_sample_cf_bundled(
+            b0, (1,) + tuple(vol_shape[1:]), grid)[..., 0].astype(jnp.float32)
+
     def sdf_grad(self, volume, xyz):
         """Analytic spatial SDF gradient (autodiff through the trilinear
         interpolation — replaces ``use_numerical_gradients`` and the

@@ -110,6 +110,10 @@ class NeuSHead(nn.Module):
     # samples are merged into the uniform set, with fixed inv_s 64*2^i.
     num_samples_importance: int = 0
     num_upsample_steps: int = 4
+    # Pre-bundle the 8 trilinear corners into one gather row (ops/interp
+    # bundle_corners_cf) before marching — ~1.5x the fused sample+grad op on
+    # v5e at the cost of an 8x volume copy per render call.
+    bundle_volume: bool = False
 
     embed_dims: int = 96
     color_dims: int = 0
@@ -191,7 +195,13 @@ class NeuSHead(nn.Module):
             ts = mids
             for i in range(self.num_upsample_steps):
                 pos = origin[:, None, :] + unit_dir[:, None, :] * ts[..., None]
-                sdf_c = self.field.sdf(volume, pos)
+                if self.bundle_volume:
+                    from ..ops.interp import bundle_corners_cf
+                    sdf_c = self.field.sdf_bundled(
+                        bundle_corners_cf(volume[:1]), (1,) + volume.shape[1:],
+                        pos)
+                else:
+                    sdf_c = self.field.sdf(volume, pos)
                 new_ts = neus.upsample_ts(ts, sdf_c, n_per, 64.0 * 2 ** i)
                 ts = neus.merge_ts(ts, new_ts)
             mids = ts                                        # (R, S + Si)
@@ -204,6 +214,10 @@ class NeuSHead(nn.Module):
             geo = self.field.query_geo(volume, positions)
             grad = self.field.sdf_numerical_grad(
                 volume, positions, self.numerical_gradients_delta)
+        elif self.bundle_volume:
+            from ..ops.interp import bundle_corners_cf
+            geo, grad = self.field.query_geo_grad_bundled(
+                bundle_corners_cf(volume), volume.shape, positions)
         else:
             # fused: one corner-gather pass yields all channels AND the
             # analytic SDF gradient (field.query_geo_grad)

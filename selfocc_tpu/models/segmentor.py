@@ -71,6 +71,7 @@ class TPVSegmentor(nn.Module):
                 pc_range=tuple(e.pc_range),
                 self_query_chunk=e.self_query_chunk,
                 cross_query_chunk=e.cross_query_chunk,
+                remat_layers=e.remat_layers,
                 name="encoder")
             h = c.head
             self._build_head(h)
@@ -87,6 +88,7 @@ class TPVSegmentor(nn.Module):
             self_query_chunk=e.self_query_chunk,
             cross_query_chunk=e.cross_query_chunk,
             shared_locations=e.shared_locations,
+            remat_layers=e.remat_layers,
             name="encoder")
         self._build_head(c.head)
 
@@ -115,6 +117,7 @@ class TPVSegmentor(nn.Module):
             use_pallas_weights=h.use_pallas_weights,
             num_samples_importance=h.num_samples_importance,
             num_upsample_steps=h.num_upsample_steps,
+            bundle_volume=h.bundle_volume,
             embed_dims=h.embed_dims,
             color_dims=h.color_dims, sem_dims=h.sem_dims,
             density_layers=h.density_layers, sh_deg=h.sh_deg,

@@ -129,3 +129,34 @@ def test_trilinear_with_grad_matches_autodiff():
         lambda p: trilinear_sample_cf(vol, p, "zeros")[..., 0].sum())(pts)
     np.testing.assert_allclose(np.asarray(grad0), np.asarray(ad_grad),
                                atol=1e-4)
+
+
+def test_bundled_trilinear_matches_unbundled():
+    """Corner-bundled sampling (one fat gather) must reproduce the 8-gather
+    zeros-padding path exactly, including out-of-bounds points and gradients."""
+    from selfocc_tpu.ops.interp import (bundle_corners_cf,
+                                        trilinear_sample_cf,
+                                        trilinear_sample_cf_bundled,
+                                        trilinear_sample_cf_bundled_with_grad,
+                                        trilinear_sample_cf_with_grad)
+    rng = np.random.RandomState(0)
+    C, H, W, D = 5, 9, 8, 6
+    vol = jnp.asarray(rng.randn(C, H, W, D).astype(np.float32))
+    # points spanning interior, edges, and far out-of-bounds
+    pts = rng.uniform(-2.5, np.array([H, W, D]) + 1.5,
+                      size=(400, 3)).astype(np.float32)
+    pts[:50] = rng.uniform(0, np.array([H - 1, W - 1, D - 1]),
+                           size=(50, 3))
+    pts = jnp.asarray(pts)
+
+    bundle = bundle_corners_cf(vol)
+    assert bundle.shape == (8 * C, (H - 1) * (W - 1) * (D - 1))
+
+    ref = np.asarray(trilinear_sample_cf(vol, pts, padding="zeros"))
+    got = np.asarray(trilinear_sample_cf_bundled(bundle, (C, H, W, D), pts))
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    rv, rg = trilinear_sample_cf_with_grad(vol, pts, "zeros")
+    bv, bg = trilinear_sample_cf_bundled_with_grad(bundle, (C, H, W, D), pts)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(rv), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg), np.asarray(rg), atol=1e-4)
