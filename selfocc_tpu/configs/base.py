@@ -71,7 +71,7 @@ class HeadConfig:
     # training forward), so it is opt-in.
     use_pallas_weights: bool = False
     num_samples_importance: int = 0   # reference neus_head.py:31 (0 shipped)
-    bundle_volume: bool = False       # one-fat-gather trilinear (TPU, 1.5x)
+    bundle_volume: bool = True        # one-fat-gather trilinear (4.7x render)
     num_upsample_steps: int = 4
     embed_dims: int = 96
     color_dims: int = 0

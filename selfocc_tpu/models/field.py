@@ -219,8 +219,7 @@ class TPVSDFField(nn.Module):
         """SDF-only query against a bundled volume (channel-0 block rows)."""
         from ..ops.interp import trilinear_sample_cf_bundled
         C = vol_shape[0]
-        M = bundle.shape[-1]
-        b0 = bundle.reshape(8, C, M)[:, :1].reshape(8, M)
+        b0 = bundle[0::C]   # strided row slice, no (8, C, M) relayout
         grid = self.mapping.meter2grid(xyz.astype(jnp.float32))
         return trilinear_sample_cf_bundled(
             b0, (1,) + tuple(vol_shape[1:]), grid)[..., 0].astype(jnp.float32)

@@ -306,8 +306,8 @@ def trilinear_sample_cf_bundled_with_grad(bundle, vol_shape, hwd):
 
     lin = (bh * (W - 1) + bw) * (D - 1) + bd
     g = jnp.take(bundle, lin, axis=1)                      # (8C, N)
-    N = lin.shape[0]
-    g = g.reshape(8, C, N)
+    # IMPORTANT: slice blocks out of (8C, N); reshaping to (8, C, N) forces a
+    # relayout XLA pads 6x (observed 16 GB HLO temp on the flagship volume)
 
     wh_, ww_, wd_ = (wh0, wh1), (ww0, ww1), (wd0, wd1)
     gh_, gw_, gd_ = (ghs0, ghs1), (gws0, gws1), (gds0, gds1)
@@ -315,7 +315,8 @@ def trilinear_sample_cf_bundled_with_grad(bundle, vol_shape, hwd):
     for ih in (0, 1):
         for iw in (0, 1):
             for idd in (0, 1):
-                blk = g[ih * 4 + iw * 2 + idd]             # (C, N)
+                k = ih * 4 + iw * 2 + idd
+                blk = g[k * C:(k + 1) * C]                 # (C, N)
                 wgt = wh_[ih] * ww_[iw] * wd_[idd]
                 term = wgt.astype(blk.dtype)[None, :] * blk
                 vals = term if vals is None else vals + term
@@ -344,13 +345,14 @@ def trilinear_sample_cf_bundled(bundle, vol_shape, hwd):
     ww0, ww1, _, _, bw = _bundled_axis_weights(w, w0i, W)
     wd0, wd1, _, _, bd = _bundled_axis_weights(d, d0i, D)
     lin = (bh * (W - 1) + bw) * (D - 1) + bd
-    g = jnp.take(bundle, lin, axis=1).reshape(8, C, -1)
+    g = jnp.take(bundle, lin, axis=1)                      # (8C, N)
     wh_, ww_, wd_ = (wh0, wh1), (ww0, ww1), (wd0, wd1)
     vals = None
     for ih in (0, 1):
         for iw in (0, 1):
             for idd in (0, 1):
+                k = ih * 4 + iw * 2 + idd
                 wgt = (wh_[ih] * ww_[iw] * wd_[idd])
-                term = wgt.astype(g.dtype)[None, :] * g[ih * 4 + iw * 2 + idd]
+                term = wgt.astype(g.dtype)[None, :] * g[k * C:(k + 1) * C]
                 vals = term if vals is None else vals + term
     return vals.T.reshape(*pts_shape, C)
