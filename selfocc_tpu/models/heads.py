@@ -111,8 +111,10 @@ class NeuSHead(nn.Module):
     num_samples_importance: int = 0
     num_upsample_steps: int = 4
     # Pre-bundle the 8 trilinear corners into one gather row (ops/interp
-    # bundle_corners_cf) before marching — ~1.5x the fused sample+grad op on
-    # v5e at the cost of an 8x volume copy per render call.
+    # bundle_corners_cf) before marching: 4.7x EVAL render throughput (rows
+    # are the bottleneck; docs/PERFORMANCE.md). Applied only when train=False
+    # — in the remat'd training render the fp32 fat-payload gather measured
+    # SLOWER (41 -> 57 s/step), so training keeps the 8-corner path.
     bundle_volume: bool = False
 
     embed_dims: int = 96
@@ -195,7 +197,7 @@ class NeuSHead(nn.Module):
             ts = mids
             for i in range(self.num_upsample_steps):
                 pos = origin[:, None, :] + unit_dir[:, None, :] * ts[..., None]
-                if self.bundle_volume:
+                if self.bundle_volume and not train:
                     from ..ops.interp import bundle_corners_cf
                     sdf_c = self.field.sdf_bundled(
                         bundle_corners_cf(volume[:1]), (1,) + volume.shape[1:],
@@ -214,7 +216,7 @@ class NeuSHead(nn.Module):
             geo = self.field.query_geo(volume, positions)
             grad = self.field.sdf_numerical_grad(
                 volume, positions, self.numerical_gradients_delta)
-        elif self.bundle_volume:
+        elif self.bundle_volume and not train:
             from ..ops.interp import bundle_corners_cf
             geo, grad = self.field.query_geo_grad_bundled(
                 bundle_corners_cf(volume), volume.shape, positions)
