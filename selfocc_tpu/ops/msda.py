@@ -63,23 +63,33 @@ def _bilinear_gather_cf(v_flat, xy, h, w):
 
 def _msda_dense(value_levels, sampling_locations, attention_weights,
                 spatial_shapes):
-    """Unchunked core. value_levels: list of (B, H, h, w, D)."""
+    """Unchunked core. value_levels: list of (B, H, h, w, D).
+
+    Each level's gather+reduce is a ``jax.checkpoint`` region: the backward
+    otherwise keeps every level's (B*H, D, Q, P) sample tensor live at once
+    (observed 45 GB HLO temp on the flagship train step) — recomputing them
+    level-by-level bounds the peak to one level."""
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
+
+    def level_term(v, loc, w_l, h, w):
+        xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
+        xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
+        samp = jax.vmap(
+            lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
+        # samp: (B*H, D, Q, P)
+        return jnp.einsum('bdqp,bqp->bqd', samp, w_l)
 
     out = jnp.zeros((B * H, Q, D), dtype=value_levels[0].dtype)
     for lvl, (h, w) in enumerate(spatial_shapes):
         # (B*H, D, h*w): payload channel-first, gather axis last
         v = value_levels[lvl].reshape(B * H, h * w, D).swapaxes(1, 2)
         loc = sampling_locations[:, :, :, lvl]            # B,Q,H,P,2
-        xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
-        xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
-        samp = jax.vmap(
-            lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
-        # samp: (B*H, D, Q, P); weights: (B, Q, H, P) -> (B*H, Q, P)
         w_l = jnp.moveaxis(attention_weights[:, :, :, lvl], 2, 1)
         w_l = w_l.reshape(B * H, Q, P)
-        out = out + jnp.einsum('bdqp,bqp->bqd', samp, w_l)
+        out = out + jax.checkpoint(
+            lambda v_, l_, w_, h_=h, w__=w: level_term(v_, l_, w_, h_, w__))(
+            v, loc, w_l)
     return jnp.moveaxis(out.reshape(B, H, Q, D), 1, 2)    # B,Q,H,D
 
 
@@ -101,10 +111,10 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
         v = jnp.moveaxis(v, 2, 3).reshape(B, H * D, h * w)
         v = v.astype(jnp.bfloat16)
         attn_l = attention_weights[:, :, :, lvl]          # B,Q,H,P
-        for p in range(P):
+
+        def point_term(v_, loc, attn_p):
             # per-head attention for this point, channel-expanded (B, H*D, Q)
-            w_p = jnp.repeat(jnp.moveaxis(attn_l[..., p], 1, 2), D, axis=1)
-            loc = sampling_locations[:, :, 0, lvl, p]     # B,Q,2 (head 0)
+            w_p = jnp.repeat(jnp.moveaxis(attn_p, 1, 2), D, axis=1)
             x = loc[..., 0] * w - 0.5
             y = loc[..., 1] * h - 0.5
             x0 = jnp.floor(x)
@@ -118,11 +128,17 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
                              (yi <= h - 1))
                     lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
                     g = jax.vmap(lambda vf, i: jnp.take(vf, i, axis=1))(
-                        v, lin)                            # (B, H*D, Q)
-                    cw = (wyi * wxi * valid)[:, None, :].astype(v.dtype)
+                        v_, lin)                           # (B, H*D, Q)
+                    cw = (wyi * wxi * valid)[:, None, :].astype(v_.dtype)
                     term = cw * g
                     acc = term if acc is None else acc + term
-            out = out + acc * w_p
+            return acc * w_p
+
+        for p in range(P):
+            # checkpoint per point: the backward otherwise materializes every
+            # point's (B, H*D, Q) transient simultaneously (~45 GB flagship)
+            out = out + jax.checkpoint(point_term)(
+                v, sampling_locations[:, :, 0, lvl, p], attn_l[..., p])
     return jnp.moveaxis(out.reshape(B, H, D, Q), 3, 1)    # B,Q,H,D
 
 
