@@ -54,3 +54,48 @@ def test_eval_novel_depth_driver(workdir, monkeypatch):
     _run(eval_novel_depth, ["--py-config", "tiny", "--work-dir", workdir,
                             "--synthetic", "--num-samples", "1",
                             "--batch", "64", "--offsets", "1.0"], monkeypatch)
+
+
+def test_eval_depth_flip_tta(workdir, monkeypatch):
+    import eval_depth
+    _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir,
+                      "--synthetic", "--num-samples", "1", "--batch", "64",
+                      "--no-shard", "--flip"], monkeypatch)
+
+
+def test_vis_pics_driver(workdir, monkeypatch, tmp_path):
+    import os
+    import vis_pics
+    _run(vis_pics, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1", "--batch", "64"],
+         monkeypatch)
+    assert any(f.endswith(".png") for f in os.listdir(workdir))
+
+
+def test_vis_3d_driver(workdir, monkeypatch):
+    import os
+    import vis_3d
+    _run(vis_3d, ["--py-config", "tiny", "--work-dir", workdir,
+                  "--synthetic", "--num-samples", "1",
+                  "--resolution", "1.0"], monkeypatch)
+    files = os.listdir(workdir)
+    assert any(f.endswith((".ply", ".npy")) for f in files), files
+
+
+def test_generate_videos_driver(tmp_path, monkeypatch):
+    import numpy as np
+    import generate_videos
+    src = tmp_path / "pics"
+    src.mkdir()
+    try:
+        import cv2
+    except ImportError:
+        pytest.skip("cv2 not available")
+    for idx in range(2):
+        for cam in range(2):
+            img = (np.random.rand(32, 48, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(src / f"depth_{idx:03d}_cam{cam}.png"), img)
+    out = tmp_path / "demo.mp4"
+    _run(generate_videos, ["--src-dir", str(src), "--out", str(out),
+                           "--num-cams", "2", "--fps", "2"], monkeypatch)
+    assert out.exists() and out.stat().st_size > 0
