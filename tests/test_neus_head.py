@@ -277,3 +277,48 @@ def test_render_rays_with_importance_samples():
         variables, volume, origin, direction)
     np.testing.assert_allclose(np.asarray(out['depth']),
                                np.asarray(base['depth']), atol=1.0)
+
+
+def test_two_split_camera_halving():
+    """two_split (kitti_raw stereo, reference neus_head.py:647-665): depth
+    quantities keep the first camera half, rgb/sem keep the second."""
+    head = make_head(two_split=True, return_sem=False, sem_dims=0,
+                     return_second_grad=False)
+    rng = jax.random.PRNGKey(0)
+    rep = make_rep(rng, head)
+    img2lidar = simple_cameras()   # 2 cams
+    variables = jax.jit(lambda: head.init(
+        {'params': rng, 'dropout': rng}, rep, img2lidar, rng, 0, True))()
+    out = jax.jit(lambda v: head.apply(
+        v, rep, img2lidar, rng, 0, True, rngs={'dropout': rng}))(variables)
+    assert out['ms_depths'][0].shape[1] == 1      # depth: first half
+    assert out['ms_colors'][0].shape[1] == 1      # rgb: second half
+
+
+def test_apply_novel_view_translation_and_yaw():
+    from selfocc_tpu.geometry.projection import apply_novel_view
+    img2lidar = simple_cameras()
+    moved = apply_novel_view(img2lidar, (1.0, -2.0, 0.5, 90.0))
+    np.testing.assert_allclose(
+        np.asarray(moved[..., :3, 3] - img2lidar[..., :3, 3]),
+        np.tile([1.0, -2.0, 0.5], (1, 2, 1)), atol=1e-6)
+    # 90 deg yaw: column directions rotate x->y
+    r_old = np.asarray(img2lidar[0, 0, :3, :3])
+    r_new = np.asarray(moved[0, 0, :3, :3])
+    np.testing.assert_allclose(r_new[1], r_old[0], atol=1e-6)
+    np.testing.assert_allclose(r_new[0], -r_old[1], atol=1e-6)
+
+
+def test_position_lifter_fourier_queries():
+    from selfocc_tpu.models.lifter import TPVPositionLifter
+    m = TPVPositionLifter(
+        embed_dims=16, tot_range=(-10, -10, -2, 10, 10, 2),
+        num_freqs=(4, 4, 4), mapping_args=MAPPING)
+    rng = jax.random.PRNGKey(0)
+    feats = [jnp.zeros((1, 2, 4, 6, 16))]
+    variables = jax.jit(lambda: m.init(rng, feats))()
+    out = jax.jit(lambda v: m.apply(v, feats))(variables)
+    rep = out['representation']
+    assert len(rep) == 3
+    assert all(np.isfinite(np.asarray(r)).all() for r in rep)
+    assert rep[0].shape[-1] == 16
