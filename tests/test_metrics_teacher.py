@@ -1,0 +1,45 @@
+"""SemTeacher offline semantic maps + SSCMetrics sanity (reference
+utils/openseed_utils.py and scenerf_metric behaviors)."""
+import numpy as np
+import pytest
+
+
+def test_sem_teacher_roundtrip(tmp_path):
+    from selfocc_tpu.utils.openseed_utils import SemTeacher
+    sem = np.random.randint(0, 17, size=(32, 48)).astype(np.uint8)
+    np.save(tmp_path / "cam0.jpg.npy", sem)
+    t = SemTeacher(str(tmp_path), apply_lut=False)
+    assert t.available()
+    got = t.load_sem_map("/data/some/where/cam0.jpg")
+    np.testing.assert_array_equal(got, sem)
+    assert t.load_sem_map("/missing/other.jpg") is None
+    batch = t.load_batch(["/x/cam0.jpg", "/x/cam0.jpg"])
+    assert batch.shape == (2, 32, 48)
+
+
+def test_sem_teacher_unavailable(tmp_path):
+    from selfocc_tpu.utils.openseed_utils import SemTeacher
+    t = SemTeacher(str(tmp_path / "nope"))
+    assert not t.available()
+
+
+def test_ssc_metrics_perfect_and_ignore():
+    from selfocc_tpu.utils.scenerf_metric import SSCMetrics
+    m = SSCMetrics(n_classes=4)
+    gt = np.random.randint(0, 4, size=(500,))
+    gt[:50] = 255                              # ignored
+    pred = gt.copy()
+    pred[:50] = 1
+    m.add_batch(pred, gt)
+    s = m.get_stats()
+    assert s["iou"] == pytest.approx(1.0)
+    assert s["precision"] == pytest.approx(1.0)
+    assert s["recall"] == pytest.approx(1.0)
+    np.testing.assert_allclose(s["iou_ssc"], np.ones(4), atol=1e-6)
+
+    m.reset()
+    wrong = (gt + 1) % 4                       # occupied stays occupied
+    wrong[gt == 0] = 0
+    m.add_batch(wrong, gt)
+    s2 = m.get_stats()
+    assert s2["iou_ssc_mean"] < 1.0
