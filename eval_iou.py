@@ -53,6 +53,16 @@ def parse_args():
     return ap.parse_args()
 
 
+def read_occ3d_label(path):
+    """Occ3D-nuScenes ``labels.npz``: semantics (200,200,16) uint8 with
+    17 = free, plus camera/lidar visibility masks (reference
+    ``eval_iou.py:26-32``)."""
+    data = np.load(path)
+    return {"semantics": data["semantics"],
+            "mask_camera": data["mask_camera"].astype(bool),
+            "mask_lidar": data["mask_lidar"].astype(bool)}
+
+
 def resample_to_occ3d(sdf, sem, aabb, ego2lidar, use_mask):
     """Transform the 200x200x16 Occ3D ego grid through ego2lidar and
     trilinear-sample the SDF/sem volumes (reference ``eval_iou.py:210-250``),
@@ -116,21 +126,29 @@ def main():
     n = args.num_samples or len(ds)
     n = min(n, len(ds))
     for i in range(n):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        item = ds[i]
+        batch = {k: jnp.asarray(v) for k, v in item.items()
+                 if not isinstance(v, (str, dict))}
         out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
         sdf = np.asarray(out["sdf"])
         occ = (sdf >= args.thresh) if args.density else (sdf <= args.thresh)
         # z-crop borders (reference eval_iou.py:228-232 analog)
         occ = occ.copy()
 
-        if args.occ3d and "occ3d_labels" in batch:
+        occ3d_targets = None
+        if args.occ3d:
+            if "occ3d_label_path" in item:
+                occ3d_targets = read_occ3d_label(item["occ3d_label_path"])
+            elif hasattr(ds, "occ3d_labels"):
+                occ3d_targets = ds.occ3d_labels(i)
+        if occ3d_targets is not None:
             ego2lidar = np.asarray(batch.get(
                 "ego2lidar", jnp.eye(4)[None]))[0]
             sdf_r, sem_r = resample_to_occ3d(
                 sdf, np.asarray(out.get("sem")) if args.sem else None,
                 aabb, ego2lidar, args.use_mask)
             occ_r = (sdf_r <= args.thresh)
-            targets = {k: np.asarray(v) for k, v in batch["occ3d_labels"].items()}
+            targets = {k: np.asarray(v) for k, v in occ3d_targets.items()}
             iou_metric._after_step(occ_r, targets, occ3d=True)
             if miou_metric is not None:
                 pred_sem = np.where(occ_r, sem_r + 1, 0)

@@ -206,6 +206,17 @@ class SyntheticDataset:
             "frame_dist": abs(offset),
         }
 
+    def occ3d_labels(self, idx=0):
+        """Occ3D-format GT for the procedural scene on the standard ego grid
+        (200x200x16, [-40,40]x[-40,40]x[-1,5.4], reference eval_iou.py:26-32
+        labels.npz layout): 'semantics' with 17 = free, ground slab ->
+        class 11 (driveable_surface); full 'mask_camera'/'mask_lidar'."""
+        zs = np.linspace(-1 + 0.2, 5.4 - 0.2, 16)
+        sem = np.full((200, 200, 16), 17, dtype=np.uint8)
+        sem[:, :, zs <= 0.0] = 11
+        ones = np.ones((200, 200, 16), dtype=bool)
+        return {"semantics": sem, "mask_camera": ones, "mask_lidar": ones}
+
     def gt_occupancy(self, aabb, resolution):
         """Binary GT occupancy of the procedural scene on a uniform grid
         (ground slab z<=0) — for IoU pipeline validation."""

@@ -99,3 +99,13 @@ def test_generate_videos_driver(tmp_path, monkeypatch):
     _run(generate_videos, ["--src-dir", str(src), "--out", str(out),
                            "--num-cams", "2", "--fps", "2"], monkeypatch)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_eval_iou_occ3d_path(workdir, monkeypatch):
+    """Occ3D branch end-to-end on synthetic GT: ego-grid resample + masked
+    binary IoU (reference eval_iou.py:210-250)."""
+    import eval_iou
+    _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0", "--occ3d", "--use-mask"],
+         monkeypatch)
