@@ -56,6 +56,7 @@ class ResNet50(nn.Module):
     bn_axis_name: Optional[str] = None
     stage_blocks: Sequence[int] = (3, 4, 6, 3)
     dtype: Optional[str] = None   # bf16 compute (reference amp analog)
+    remat_blocks: bool = True     # recompute bottlenecks in backward
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -71,10 +72,12 @@ class ResNet50(nn.Module):
 
         outs = []
         planes = 64
+        Block = nn.remat(Bottleneck, prevent_cse=False) \
+            if self.remat_blocks else Bottleneck
         for stage, blocks in enumerate(self.stage_blocks):
             for blk in range(blocks):
                 stride = 2 if (stage > 0 and blk == 0) else 1
-                x = Bottleneck(
+                x = Block(
                     planes, stride=stride, downsample=(blk == 0),
                     bn_axis_name=self.bn_axis_name, dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}")(x, train=train)

@@ -114,7 +114,10 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
         def point_term(v_, loc, attn_p):
             # per-head attention for this point, channel-expanded (B, H*D, Q)
+            # bf16: this broadcast is the biggest backward temp (145 MB f32
+            # each on the flagship) and the fast path is explicitly lossy
             w_p = jnp.repeat(jnp.moveaxis(attn_p, 1, 2), D, axis=1)
+            w_p = w_p.astype(jnp.bfloat16)
             x = loc[..., 0] * w - 0.5
             y = loc[..., 1] * h - 0.5
             x0 = jnp.floor(x)
