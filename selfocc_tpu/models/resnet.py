@@ -72,7 +72,10 @@ class ResNet50(nn.Module):
 
         outs = []
         planes = 64
-        Block = nn.remat(Bottleneck, prevent_cse=False) \
+        # `train` must stay a static python bool under remat (it picks the
+        # BatchNorm branch); flax counts `self` as argnum 0, so the second
+        # positional call arg is argnum 2.
+        Block = nn.remat(Bottleneck, prevent_cse=False, static_argnums=(2,)) \
             if self.remat_blocks else Bottleneck
         for stage, blocks in enumerate(self.stage_blocks):
             for blk in range(blocks):
@@ -80,7 +83,7 @@ class ResNet50(nn.Module):
                 x = Block(
                     planes, stride=stride, downsample=(blk == 0),
                     bn_axis_name=self.bn_axis_name, dtype=self.dtype,
-                    name=f"layer{stage + 1}_{blk}")(x, train=train)
+                    name=f"layer{stage + 1}_{blk}")(x, train)
             outs.append(x)
             planes *= 2
         return outs
