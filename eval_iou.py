@@ -2,28 +2,50 @@
 ``eval_iou.py`` (SURVEY §3.2).
 
 Per sample: ``forward_occ`` evaluates the SDF (+ semantics) on a uniform
-metric grid over the AABB, thresholds ``sdf <= --thresh`` into occupancy, then
-scores against labels:
-  * Occ3D path (``--occ3d``): resample the SDF volume into the 200x200x16 ego
-    grid through ``ego2lidar`` trilinear sampling, border-crop, optional
-    camera-visibility mask (reference ``eval_iou.py:210-250``).
-  * synthetic path: procedural GT occupancy grid (pipeline validation).
+metric grid over the AABB, thresholds ``sdf <= --thresh`` into occupancy,
+then scores against labels exactly like the reference:
+
+  * Occ3D path (``--occ3d``): transform the 200x200x16 ego grid through
+    ``ego2lidar``, trilinear-sample the SDF (and sem-logit) volumes with
+    zeros padding / align-corners semantics (reference ``eval_iou.py:
+    210-250``), re-threshold, then apply the fixed post-crops
+    ``occ[..., 12:] = 0`` + 6-voxel lateral borders (``:228-233``).
+    GT from Occ3D ``labels.npz`` (17 = free; ``mask_camera`` honored with
+    ``--use-mask``).
+  * OpenOccupancy path (no ``--occ3d``): score the native uniform grid
+    (default resolution 0.2 -> 512x512x40 over [-51.2,51.2]^2 x [-5,3])
+    against the sparse ``.npy`` voxel-coordinate labels scattered into a
+    dense grid (reference ``:260-283``), after the z-crops
+    ``occ[..., -4:] = 0``/``occ[..., :5] = 0`` + lateral borders
+    (``:252-259``).
+  * synthetic fallback: procedural GT occupancy grid (pipeline validation).
+
+Predicted semantics are remapped ``openseed->nuscenes`` at eval when the
+config trains the sem head in OpenSeeD space (reference ``:249-251``).
 
 Flags mirror the reference: ``--occ3d --resolution --thresh --sem --use-mask
---scene-size --save-sem``.
+--scene-size --density --save-sem``.
 """
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
-# reference eval_iou.py:174-196 scene-size AABBs
-SCENE_SIZE_AABBS = {
-    0: None,                                   # config default
-    1: [-40.0, -40.0, -1.0, 40.0, 40.0, 5.4],
-    2: [-51.2, -51.2, -4.0, 51.2, 51.2, 5.0],
+# reference eval_iou.py:174-196 — (point_cloud_range, expansion) per
+# --scene-size under --occ3d; expansion always equals the full range.
+OCC3D_SCENES = {
+    0: ([-51.2, -51.2, -4.0, 51.2, 51.2, 4.0], [102.4, 102.4, 8.0]),
+    1: ([-40.0, -40.0, -2.8, 40.0, 40.0, 3.6], [80.0, 80.0, 6.4]),
+    2: ([-40.0, -40.0, -3.1, 40.0, 40.0, 3.9], [80.0, 80.0, 7.0]),
+    3: ([-40.0, -40.0, -3.2, 40.0, 40.0, 4.0], [80.0, 80.0, 7.2]),
+    4: ([-40.0, -40.0, -1.0, 40.0, 40.0, 5.4], [80.0, 80.0, 6.4]),
+    5: ([-51.2, -51.2, -5.0, 51.2, 51.2, 3.0], [102.4, 102.4, 8.0]),
+    6: ([-51.2, -51.2, -4.0, 51.2, 51.2, 5.0], [102.4, 102.4, 9.0]),
 }
+# reference eval_iou.py:174-175 — fixed AABB when scoring OpenOccupancy
+OPENOCC_PCR = [-51.2, -51.2, -5.0, 51.2, 51.2, 3.0]
 
 NUSC_LABELS = [
     "barrier", "bicycle", "bus", "car", "construction_vehicle", "motorcycle",
@@ -38,7 +60,7 @@ def parse_args():
     ap.add_argument("--ckpt-path", default="")
     ap.add_argument("--torch-ckpt", default="",
                     help="reference-SelfOcc .pth to import")
-    ap.add_argument("--resolution", type=float, default=0.4)
+    ap.add_argument("--resolution", type=float, default=0.2)
     ap.add_argument("--thresh", type=float, default=0.0)
     ap.add_argument("--occ3d", action="store_true")
     ap.add_argument("--sem", action="store_true")
@@ -63,33 +85,80 @@ def read_occ3d_label(path):
             "mask_lidar": data["mask_lidar"].astype(bool)}
 
 
-def resample_to_occ3d(sdf, sem, aabb, ego2lidar, use_mask):
-    """Transform the 200x200x16 Occ3D ego grid through ego2lidar and
-    trilinear-sample the SDF/sem volumes (reference ``eval_iou.py:210-250``),
-    then border-crop 6 voxels laterally."""
-    import jax.numpy as jnp
-    from selfocc_tpu.ops.interp import trilinear_sample
-    xs = np.linspace(-40 + 0.2, 40 - 0.2, 200)
-    ys = np.linspace(-40 + 0.2, 40 - 0.2, 200)
-    zs = np.linspace(-1 + 0.2, 5.4 - 0.2, 16)
+def read_openoccupancy_label(path):
+    """OpenOccupancy ``.npy``: rows of occupied-voxel indices; the first
+    three columns are the voxel coordinates (reference
+    ``eval_iou.py:34-41``)."""
+    label = np.load(path)
+    return np.asarray(label[:, :3], dtype=np.int64)
+
+
+def openocc_gt_grid(coords, shape=(512, 512, 40)):
+    """Scatter sparse OpenOccupancy voxel coords into a dense 0/1 grid,
+    including the reference's axis reorder (``eval_iou.py:261-263``:
+    ``gt_occ[:, [1, 2, 0]]`` then used as (dim0, dim1, dim2) indices)."""
+    coords = coords[:, [1, 2, 0]]
+    gt = np.zeros(shape, dtype=np.int32)
+    valid = np.all((coords >= 0) & (coords < np.asarray(shape)), axis=1)
+    c = coords[valid]
+    gt[c[:, 0], c[:, 1], c[:, 2]] = 1
+    return gt
+
+
+def occ3d_ego_to_grid_coords(pcr, expansion, ego2lidar):
+    """Fractional voxel indices of the 200x200x16 Occ3D ego grid inside the
+    uniform prediction volume (reference ``eval_iou.py:151-164, 210-218``:
+    grid from ``linspace(-40, 40, 200)`` x ``linspace(-1, 5.4, 16)``,
+    transformed by ``ego2lidar``, normalized by ``(p - pcr_min)/expansion``,
+    sampled align-corners)."""
+    xs = np.linspace(-40.0, 40.0, 200)
+    ys = np.linspace(-40.0, 40.0, 200)
+    zs = np.linspace(-1.0, 5.4, 16)
     grid = np.stack(np.meshgrid(xs, ys, zs, indexing="ij"), -1)  # X,Y,Z,3
     pts = np.concatenate([grid, np.ones_like(grid[..., :1])], -1)
-    pts = pts @ np.asarray(ego2lidar).T                     # ego -> lidar
-    pts = pts[..., :3]
-    H, W, D = sdf.shape
-    # lidar meters -> fractional voxel indices of the uniform grid
-    fy = (pts[..., 1] - aabb[1]) / (aabb[4] - aabb[1]) * (H - 1)
-    fx = (pts[..., 0] - aabb[0]) / (aabb[3] - aabb[0]) * (W - 1)
-    fz = (pts[..., 2] - aabb[2]) / (aabb[5] - aabb[2]) * (D - 1)
-    idx = jnp.asarray(np.stack([fy, fx, fz], -1))
-    sdf_r = np.asarray(trilinear_sample(
-        jnp.asarray(sdf)[..., None], idx, "border"))[..., 0]
-    sem_r = None
-    if sem is not None:
-        sem_r = np.asarray(trilinear_sample(
-            jnp.asarray(sem).astype(np.float32)[..., None], idx,
-            "border"))[..., 0].round().astype(np.int32)
-    return sdf_r, sem_r
+    pts = (pts @ np.asarray(ego2lidar).T)[..., :3]
+    return pts  # metric lidar-frame points, (200,200,16,3)
+
+
+def resample_volume_at(vol, pts, pcr, expansion):
+    """Trilinear-sample a (H,W,D[,C]) lidar-frame volume at metric points
+    with torch-``grid_sample`` zeros-padding / align-corners semantics.
+    Volume layout (H,W,D) <-> (y,x,z) (see CLAUDE.md); with
+    align_corners=True the fractional index is ``norm * (size-1)``."""
+    import jax.numpy as jnp
+    from selfocc_tpu.ops.interp import trilinear_sample
+    H, W, D = vol.shape[:3]
+    fy = (pts[..., 1] - pcr[1]) / expansion[1] * (H - 1)
+    fx = (pts[..., 0] - pcr[0]) / expansion[0] * (W - 1)
+    fz = (pts[..., 2] - pcr[2]) / expansion[2] * (D - 1)
+    idx = jnp.asarray(np.stack([fy, fx, fz], -1), jnp.float32)
+    v = vol if vol.ndim == 4 else vol[..., None]
+    out = np.asarray(trilinear_sample(jnp.asarray(v, jnp.float32), idx,
+                                      "zeros"))
+    return out if vol.ndim == 4 else out[..., 0]
+
+
+def apply_occ3d_crops(occ):
+    """Fixed Occ3D post-crops (reference ``eval_iou.py:228-233``)."""
+    occ = occ.copy()
+    occ[..., 12:] = 0
+    occ[:6, ...] = 0
+    occ[-6:, ...] = 0
+    occ[:, :6, :] = 0
+    occ[:, -6:, :] = 0
+    return occ
+
+
+def apply_openocc_crops(occ):
+    """Fixed non-Occ3D post-crops (reference ``eval_iou.py:252-257``)."""
+    occ = occ.copy()
+    occ[..., -4:] = 0
+    occ[..., :5] = 0
+    occ[:6, ...] = 0
+    occ[-6:, ...] = 0
+    occ[:, :6, :] = 0
+    occ[:, -6:, :] = 0
+    return occ
 
 
 def main():
@@ -99,29 +168,41 @@ def main():
     from selfocc_tpu.utils.eval_lib import (load_model_for_eval,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
-    from selfocc_tpu.utils.metrics import IoU, MeanIoU
+    from selfocc_tpu.utils.metrics import IoU, MeanIoU, openseed2nuscenes
 
     cfg, model = load_model_for_eval(args.py_config, args.ckpt_path)
     logger = get_logger(args.work_dir)
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    sample = {k: jnp.asarray(v) for k, v in ds[0].items()
+              if not isinstance(v, (str, dict))}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
 
-    aabb = SCENE_SIZE_AABBS.get(args.scene_size) or list(
-        cfg.model.head.roi_aabb)
+    if args.occ3d:
+        pcr, expansion = OCC3D_SCENES[args.scene_size]
+    else:
+        pcr = list(OPENOCC_PCR)
+        expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
     occ_fn = jax.jit(lambda v, i, l: model.apply(
-        v, i, l, aabb=tuple(aabb), resolution=args.resolution,
+        v, i, l, aabb=tuple(pcr), resolution=args.resolution,
         method="forward_occ"))
 
-    iou_metric = IoU(use_mask=args.use_mask)
+    # both metrics are MeanIoU instances, dataset_empty_label=0
+    # (reference eval_iou.py:138-149)
+    iou_metric = MeanIoU([1], 0, ["occupied"], args.use_mask, 0, name="iou")
     miou_metric = MeanIoU(
-        class_indices=list(range(1, cfg.num_classes)),
-        empty_label=0, label_str=NUSC_LABELS[:cfg.num_classes - 1],
-        use_mask=args.use_mask) if args.sem else None
+        list(range(1, 17)), 0, NUSC_LABELS, args.use_mask, 0,
+        name="miou") if args.sem else None
+    # semantics class space: LUT applied on predictions when the head was
+    # trained in OpenSeeD space (reference eval_iou.py:249-251)
+    sem_remap = openseed2nuscenes if cfg.sem_space == "openseed" \
+        else (lambda s: s)
+    # synthetic fallback scoring
+    synth_iou = IoU(use_mask=args.use_mask)
+    used_synth = False
 
     n = args.num_samples or len(ds)
     n = min(n, len(ds))
@@ -131,9 +212,6 @@ def main():
                  if not isinstance(v, (str, dict))}
         out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
         sdf = np.asarray(out["sdf"])
-        occ = (sdf >= args.thresh) if args.density else (sdf <= args.thresh)
-        # z-crop borders (reference eval_iou.py:228-232 analog)
-        occ = occ.copy()
 
         occ3d_targets = None
         if args.occ3d:
@@ -141,36 +219,78 @@ def main():
                 occ3d_targets = read_occ3d_label(item["occ3d_label_path"])
             elif hasattr(ds, "occ3d_labels"):
                 occ3d_targets = ds.occ3d_labels(i)
-        if occ3d_targets is not None:
+
+        if args.occ3d and occ3d_targets is not None:
             ego2lidar = np.asarray(batch.get(
                 "ego2lidar", jnp.eye(4)[None]))[0]
-            sdf_r, sem_r = resample_to_occ3d(
-                sdf, np.asarray(out.get("sem")) if args.sem else None,
-                aabb, ego2lidar, args.use_mask)
-            occ_r = (sdf_r <= args.thresh)
-            targets = {k: np.asarray(v) for k, v in occ3d_targets.items()}
-            iou_metric._after_step(occ_r, targets, occ3d=True)
+            pts = occ3d_ego_to_grid_coords(pcr, expansion, ego2lidar)
+            sdf_r = resample_volume_at(sdf, pts, pcr, expansion)
+            occ = (sdf_r >= args.thresh) if args.density \
+                else (sdf_r <= args.thresh)
+            pred_occ_iou = apply_occ3d_crops(occ.astype(np.int32))
+
+            gt_raw = np.asarray(occ3d_targets["semantics"]).copy()
+            masks = np.asarray(occ3d_targets["mask_camera"]).astype(bool)
+            gt_raw[gt_raw == 17] = 0
+            gt_occ_iou = (gt_raw > 0).astype(np.int32)
+            iou_metric._after_step(pred_occ_iou, gt_occ_iou,
+                                   masks if args.use_mask else None)
+            pred_occ_miou = None
             if miou_metric is not None:
-                pred_sem = np.where(occ_r, sem_r + 1, 0)
-                miou_metric._after_step(pred_sem, targets)
+                logits = np.asarray(out["logits"])       # (H, W, D, C)
+                logits_r = resample_volume_at(logits, pts, pcr, expansion)
+                sem = sem_remap(np.argmax(logits_r, axis=-1))
+                pred_occ_miou = pred_occ_iou * sem
+                miou_metric._after_step(pred_occ_miou, gt_raw,
+                                        masks if args.use_mask else None)
+        elif not args.occ3d and "openocc_label_path" in item:
+            occ = (sdf >= args.thresh) if args.density \
+                else (sdf <= args.thresh)
+            pred_occ_iou = apply_openocc_crops(occ.astype(np.int32))
+            gt_occ_iou = openocc_gt_grid(
+                read_openoccupancy_label(item["openocc_label_path"]),
+                shape=pred_occ_iou.shape)
+            iou_metric._after_step(pred_occ_iou, gt_occ_iou, None)
+            pred_occ_miou = None
+            if miou_metric is not None:
+                # the reference's OpenOccupancy sem scoring compares dense
+                # predictions against raw (n,3) coordinates
+                # (eval_iou.py:266-270) — broken upstream; predictions are
+                # still produced (for --save-sem) but not scored.
+                sem = sem_remap(np.asarray(out["sem"]))
+                pred_occ_miou = pred_occ_iou * sem
+                logger.warning("OpenOccupancy semantic mIoU is not scored "
+                               "(reference path is inconsistent); binary "
+                               "IoU only")
         elif hasattr(ds, "gt_occupancy"):
-            gt = ds.gt_occupancy(aabb, args.resolution)
-            inter = np.logical_and(occ, gt).sum()
-            union = np.logical_or(occ, gt).sum()
+            occ = (sdf >= args.thresh) if args.density \
+                else (sdf <= args.thresh)
+            gt = ds.gt_occupancy(pcr, args.resolution)
             tgt_idx = np.stack(np.nonzero(gt), -1)
-            iou_metric._after_step(occ.astype(np.float32), tgt_idx)
-        logger.info(f"[{i + 1}/{n}] occ grid {occ.shape}, "
-                    f"occupied {occ.mean() * 100:.1f}%")
+            synth_iou._after_step(occ.astype(np.float32), tgt_idx)
+            used_synth = True
+            pred_occ_iou, pred_occ_miou = occ, None
+        else:
+            logger.warning(f"[{i}] no GT labels available; skipping score")
+            continue
+        logger.info(f"[{i + 1}/{n}] occupied {pred_occ_iou.mean() * 100:.1f}%")
 
-        if args.save_sem and args.sem:
-            np.save(f"{args.save_sem}/sem_{i:04d}.npy",
-                    np.asarray(out["sem"]))
+        if args.save_sem and pred_occ_miou is not None:
+            token = str(item.get("token", f"{i:06d}"))
+            save_path = os.path.join(args.save_sem, token)
+            os.makedirs(save_path, exist_ok=True)
+            np.savez_compressed(os.path.join(save_path, "labels.npz"),
+                                semantics=pred_occ_miou.astype(np.uint8))
 
-    iou = iou_metric._after_epoch(logger=logger)
-    logger.info(f"Final IoU: {iou:.2f}")
-    if miou_metric is not None:
+    if used_synth:
+        iou = synth_iou._after_epoch(logger=logger)
+        logger.info(f"Final IoU: {iou:.2f}")
+    else:
+        iou_miou, iou_iou = iou_metric._after_epoch(logger=logger)
+        logger.info(f"iou_miou: {iou_miou:.4f}, iou_iou: {iou_iou:.4f}")
+    if miou_metric is not None and not used_synth:
         miou, occ_iou = miou_metric._after_epoch(logger=logger)
-        logger.info(f"mIoU: {miou:.2f}  occupancy IoU: {occ_iou:.2f}")
+        logger.info(f"miou_miou: {miou:.4f}, miou_iou: {occ_iou:.4f}")
 
 
 if __name__ == "__main__":

@@ -117,6 +117,13 @@ class Config:
     max_epochs: int = 12
     sem: bool = False
     num_classes: int = 17
+    # Semantic supervision class space. "openseed": the field's sem head is
+    # trained directly on the 21-class OpenSeeD teacher output and eval
+    # applies the openseed->nuscenes LUT on predictions (the reference's
+    # behavior, eval_iou.py:249-251 — required for imported-checkpoint
+    # parity). "nuscenes": maps are LUT-remapped at data time and the head
+    # emits nuScenes classes directly (self-consistent alternative).
+    sem_space: str = "nuscenes"
     # optimizer (reference config/_base_/optimizer.py + per-config overrides)
     lr: float = 1e-4
     weight_decay: float = 0.01

@@ -35,6 +35,10 @@ def nuscenes_occ() -> Config:
         d_size=[24, 0], d_range=[-1.0, 5.4, 5.4])
     pc_range = (-40.0, -40.0, -1.0, 40.0, 40.0, 5.4)
     num_classes = 17
+    # the field's sem head emits the 21 OpenSeeD teacher classes; the
+    # openseed->nuscenes LUT is applied at eval (reference trains SemCE
+    # directly against OpenSeeD maps, eval_iou.py:249-251 remaps)
+    sem_dims = 21
     loss_cfgs = [
         dict(type="ReprojLossMonoMultiNewCombine", weight=1.0, no_ssim=False,
              img_size=list(img_size), ray_resize=list(num_rays),
@@ -63,7 +67,7 @@ def nuscenes_occ() -> Config:
             ray_sample_mode="cellular", ray_number=num_rays,
             ray_img_size=img_size, trans_kw="temImg2lidar",
             render_bkgd="random", embed_dims=96, color_dims=24,
-            sem_dims=num_classes, density_layers=2, sh_deg=0, sh_act="relu",
+            sem_dims=sem_dims, density_layers=2, sh_deg=0, sh_act="relu",
             two_split=False, tpv=True),
         lifter_type="TPVQueryLifter", embed_dims=96)
     convertion = dict(_BASE_CONVERTION, second_grad="second_grad", sem="sem")
@@ -71,7 +75,8 @@ def nuscenes_occ() -> Config:
         name="nuscenes_occ", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=convertion, img_size=img_size,
         input_size=(384, 800), num_rays=num_rays, num_cams=6, max_epochs=12,
-        sem=True, num_classes=num_classes, lr=1e-4, weight_decay=0.01,
+        sem=True, num_classes=num_classes, sem_space="openseed",
+        lr=1e-4, weight_decay=0.01,
         multisteplr=True, multistep_decay_t=(3516 * 9,), warmup_iters=1000,
         steps_per_epoch=3516, scale_rate=0.5, eval_num_rays=(450, 800))
 

@@ -76,7 +76,7 @@ class nuScenes_One_Frame_Sweeps_Dist:
                  cur_prob=1.0, prev_prob=0.5, choose_nearest=False,
                  ref_sensor="CAM_FRONT", composite_prev_next=False,
                  sensor_mus=(3.0, 0.5), sensor_sigma=0.5, ego_centric=False,
-                 **kwargs):
+                 occ3d_root="", openocc_root="", **kwargs):
         with open(imageset, "rb") as f:
             data = pickle.load(f)
         self.scene_infos = data["infos"]
@@ -98,6 +98,13 @@ class nuScenes_One_Frame_Sweeps_Dist:
         self.sensor_sigma = sensor_sigma
         self.sensor_types = SENSOR_TYPES
         self.ego_centric = ego_centric
+        # Occupancy GT roots: the reference resolves label files through the
+        # nuScenes devkit at eval time (eval_iou.py:26-41,
+        # data/occ3d/gts/{scene}/{token}/labels.npz and
+        # data/nuScenes-Occupancy/scene_{scene_token}/occupancy/{lidar}.npy);
+        # here the pkl scene key + sample token resolve them directly.
+        self.occ3d_root = occ3d_root
+        self.openocc_root = openocc_root
         self._build_neighbor_lists(ref_sensor, min_dist, max_dist, strict)
 
     def _build_neighbor_lists(self, ref_sensor, min_dist, max_dist, strict):
@@ -306,6 +313,18 @@ class nuScenes_One_Frame_Sweeps_Dist:
             "timestamp": info["timestamp"],
             "img2prevImg": prev_dict["img2temImg"],
             "img2nextImg": next_dict["img2temImg"]}
+
+        if self.occ3d_root:
+            p = os.path.join(self.occ3d_root, str(scene_token),
+                             str(info["token"]), "labels.npz")
+            if os.path.exists(p):
+                img_metas["occ3d_label_path"] = p
+        if self.openocc_root:
+            lidar_token = info["data"]["LIDAR_TOP"].get("token", "")
+            p = os.path.join(self.openocc_root, f"scene_{scene_token}",
+                             "occupancy", f"{lidar_token}.npy")
+            if os.path.exists(p):
+                img_metas["openocc_label_path"] = p
 
         if self.return_depth:
             loc, gt, mask = self.get_depth_from_lidar(

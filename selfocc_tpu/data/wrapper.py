@@ -26,7 +26,7 @@ class TemporalDatasetWrapper:
     def __init__(self, in_dataset, phase="train", scale_rate=1.0,
                  photometric_aug=None, img_norm_cfg=None, use_flip=False,
                  ref_focal_len=None, pad_img_size=None, random_scale=None,
-                 pad_scale_rate=None, sem_from=None,
+                 pad_scale_rate=None, sem_from=None, sem_apply_lut=False,
                  supervision_img_size=None):
         self.dataset = in_dataset
         self.scale_rate = scale_rate
@@ -46,7 +46,14 @@ class TemporalDatasetWrapper:
         if use_flip:
             train_t.append(RandomFlip(0.5))
         self.transforms = train_t if phase == "train" else val_t
-        self.sem_from = sem_from  # optional dir of precomputed 2D sem maps
+        # optional precomputed OpenSeeD teacher maps (offline analog of the
+        # reference's on-line OpenSeeD forward, train.py:213-215); with
+        # sem_apply_lut the maps are remapped to nuScenes classes at load
+        # (sem_space="nuscenes"), otherwise kept in OpenSeeD space.
+        self.sem_teacher = None
+        if sem_from:
+            from ..utils.openseed_utils import SemTeacher
+            self.sem_teacher = SemTeacher(sem_from, apply_lut=sem_apply_lut)
         # optional bilinear resize of the supervision images (reference
         # dataset_wrapper_temporal.py:151-154, align_corners interpolate)
         self.supervision_img_size = supervision_img_size
@@ -99,4 +106,12 @@ class TemporalDatasetWrapper:
             batch["depth_mask"] = metas["depth_mask"]
         if "sem" in metas:
             batch["sem_gt"] = np.asarray(metas["sem"])[None]
+        elif self.sem_teacher is not None and "curr_imgs_path" in metas:
+            maps = self.sem_teacher.load_batch(metas["curr_imgs_path"])
+            if maps is not None:
+                batch["sem_gt"] = maps[None]
+        # occupancy GT label paths (strings, host-side eval only)
+        for k in ("occ3d_label_path", "openocc_label_path", "token"):
+            if k in metas:
+                batch[k] = metas[k]
         return batch

@@ -109,3 +109,51 @@ def test_eval_iou_occ3d_path(workdir, monkeypatch):
                     "--synthetic", "--num-samples", "1",
                     "--resolution", "1.0", "--occ3d", "--use-mask"],
          monkeypatch)
+
+
+def test_eval_iou_occ3d_sem_path(workdir, monkeypatch):
+    """Occ3D + --sem: logits resampled into the ego grid, argmax'd,
+    class-space-remapped and mIoU-scored (reference eval_iou.py:240-250)."""
+    import eval_iou
+    _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0", "--occ3d", "--use-mask", "--sem",
+                    "--save-sem", workdir], monkeypatch)
+    import os
+    assert any("labels.npz" in fs for _, _, f in os.walk(workdir)
+               for fs in f)
+
+
+def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
+    """OpenOccupancy branch: sparse .npy voxel labels + fixed z/lateral
+    crops on the native uniform grid (reference eval_iou.py:251-263)."""
+    import numpy as np
+    import eval_iou
+    import train as train_mod
+
+    # synthesize a sparse label file: rows (c0, c1, c2) -> gt[c1, c2, c0]
+    label = np.stack([np.random.randint(0, 8, 40),
+                      np.random.randint(0, 102, 40),
+                      np.random.randint(0, 102, 40)], 1).astype(np.int64)
+    path = str(tmp_path / "occupancy.npy")
+    np.save(path, label)
+
+    real_loader = train_mod.get_dataloader
+
+    class _Inject:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            item = dict(self.ds[i])
+            item["openocc_label_path"] = path
+            return item
+
+    monkeypatch.setattr(train_mod, "get_dataloader",
+                        lambda cfg, syn: _Inject(real_loader(cfg, syn)))
+    _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0"], monkeypatch)

@@ -105,9 +105,12 @@ def get_dataloader(cfg, synthetic: bool):
                 return ds
         except (ImportError, FileNotFoundError):
             pass
+    # synthetic 2D sem maps span the head's supervision class space (21
+    # OpenSeeD classes when sem_space="openseed", nuScenes classes otherwise)
+    n_sem = max(cfg.num_classes, cfg.model.head.sem_dims or 0)
     return SyntheticDataset(
         num_cams=cfg.num_cams, input_size=cfg.input_size,
-        img_size=cfg.img_size, num_classes=cfg.num_classes, length=64)
+        img_size=cfg.img_size, num_classes=n_sem, length=64)
 
 
 def main():
