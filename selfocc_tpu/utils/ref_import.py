@@ -34,12 +34,25 @@ Both DeformHeads flatten offsets/weights as ``(heads, levels, points, 2)`` —
 the same order as mmcv (``multi_scale_deform_attn.py`` ``.view(bs, nq, heads,
 levels, points, 2)``) — so Linear weights copy over with only a transpose.
 
-NOT covered (keys are defined by the authors' private sdfstudio fork, absent
-from the reference repo): the field decode MLP (``head.model.field.*`` apart
-from the deviation network) — pass ``extra`` with explicit (ref_key ->
-(our_path, transform)) entries, and ``head.flow_net.*`` (the reference uses
-BatchNorm2d where this framework's FlowNet uses LayerNorm — not
-weight-compatible by design; see ``models/heads.py:FlowNet``).
+Field decode MLP: the in-repo template is ``BEVNeRF.density_net``, a
+``nn.Sequential([Softplus, Linear] x density_layers)`` whose Linears sit at
+odd indices (``model/head/nerfacc_head/bev_nerf.py:62-71``). Keys matched:
+
+  * ``head.radiance_field.density_net.{2i+1}.*`` — NeRFAccHead (exact
+    in-repo naming, ``nerfacc_head.py:108``)
+  * ``head.model.field.density_net.{2i+1}.*`` — NeuSHead, assuming the
+    private sdfstudio fork mirrors the template's naming (its config
+    surface does, ``neus_head.py:170-185``); the last Linear maps to
+    ``density_out``, earlier ones to ``density_{i}``. A real fork
+    checkpoint with different names still imports via ``extra``.
+
+NOT covered: ``color_proj`` (this framework folds an explicit
+SH-coefficient projection into decode; the fork's internal color head is
+opaque — imported checkpoints keep a random color projection, which leaves
+SDF/semantics eval [IoU/mIoU] untouched and only perturbs rendered RGB),
+and ``head.flow_net.*`` (the reference uses BatchNorm2d where this
+framework's FlowNet uses LayerNorm — not weight-compatible by design; see
+``models/heads.py:FlowNet``).
 """
 from __future__ import annotations
 
@@ -140,6 +153,10 @@ for _p in ("hw", "zh", "wz"):
 
 _NECK_RE = re.compile(r"^img_neck\.(lateral|fpn)_convs\.(\d+)\.conv\.(weight|bias)$")
 
+# field decode MLP (NeuS fork / NeRFAcc BEVNeRF, see module docstring)
+_FIELD_RE = re.compile(
+    r"^head\.(?:model\.field|radiance_field)\.density_net\.(\d+)\.(weight|bias)$")
+
 
 def convert_reference_state_dict(
         state_dict: Dict[str, Any],
@@ -166,6 +183,8 @@ def convert_reference_state_dict(
 
     # encoder layers: collect per-layer, then stack to the nn.scan layout
     per_layer: Dict[int, Dict[Tuple[str, ...], Any]] = {}
+    # field MLP: collect Sequential indices, then name by position
+    field_net: Dict[int, Dict[str, Any]] = {}
 
     for key, val in state_dict.items():
         if key.startswith("img_backbone."):
@@ -185,12 +204,28 @@ def convert_reference_state_dict(
             fn = _conv_w if wb == "weight" else _arr
             _set(params, ("img_neck", f"{kind}_{i}", leaf), fn(val))
             continue
+        m = _FIELD_RE.match(key)
+        if m:
+            idx, wb = int(m.group(1)), m.group(2)
+            leaf = "kernel" if wb == "weight" else "bias"
+            fn = _lin_w if wb == "weight" else _arr
+            field_net.setdefault(idx, {})[leaf] = fn(val)
+            continue
         m = _LAYER_RE.match(key)
         if m and m.group(2) in _LAYER_MAP:
             path, fn = _LAYER_MAP[m.group(2)]
             per_layer.setdefault(int(m.group(1)), {})[path] = fn(val)
             continue
         unmatched.append(key)
+
+    if field_net:
+        # Sequential Linears sit at odd indices; i-th Linear -> density_{i},
+        # last -> density_out (models/field.py setup)
+        order = sorted(field_net)
+        for i, seq_idx in enumerate(order):
+            name = "density_out" if i == len(order) - 1 else f"density_{i}"
+            for leaf, v in field_net[seq_idx].items():
+                _set(params, ("head", "field", name, leaf), v)
 
     if per_layer:
         n_layers = max(per_layer) + 1

@@ -124,6 +124,43 @@ def test_eval_iou_occ3d_sem_path(workdir, monkeypatch):
                for fs in f)
 
 
+def test_eval_iou_torch_ckpt_roundtrip(workdir, monkeypatch, tmp_path):
+    """North-star acceptance gate (VERDICT #2): synthesize a FULL
+    reference-layout .pth (encoder + neck + lifter + field MLP + deviation),
+    import it via --torch-ckpt, and run eval_iou occ3d end-to-end. Zero
+    unmatched core keys is asserted inside (importer warns otherwise)."""
+    import jax
+    import torch
+    import eval_iou
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.ref_import import convert_reference_state_dict
+    from test_ref_import import _ref_keys_from_ours
+    from utils_tiny import make_cameras
+
+    cfg = get_config("tiny")
+    model = TPVSegmentor(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+    H, W = cfg.input_size
+    imgs = jax.random.uniform(rng, (1, cfg.num_cams, H, W, 3))
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": jax.random.PRNGKey(1)},
+        imgs, cams["lidar2img"], cams["img2lidar"], rng, 0, True))()
+
+    sd = _ref_keys_from_ours(variables["params"],
+                             cfg.model.encoder.num_layers)
+    _, _, unmatched = convert_reference_state_dict(sd)
+    assert unmatched == []
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": sd}, pth)
+
+    _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0", "--occ3d", "--use-mask",
+                    "--torch-ckpt", pth], monkeypatch)
+
+
 def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
     """OpenOccupancy branch: sparse .npy voxel labels + fixed z/lateral
     crops on the native uniform grid (reference eval_iou.py:251-263)."""

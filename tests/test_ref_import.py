@@ -95,6 +95,20 @@ def _ref_keys_from_ours(params, num_layers):
             sd[f"img_neck.{kind}_convs.{i}.conv.bias"] = \
                 torch.randn(*neck["bias"].shape)
     sd["head.model.field.deviation_network.variance"] = torch.randn(())
+    # field decode MLP, bev_nerf.py:62-71 Sequential naming: Linears at odd
+    # indices; last one is the (1+color+sem)-channel output layer
+    field = params["head"]["field"]
+    n_hidden = sum(1 for k in field if k.startswith("density_")
+                   and k != "density_out")
+    for i in range(n_hidden):
+        sd[f"head.model.field.density_net.{2 * i + 1}.weight"] = \
+            lin(field[f"density_{i}"]["kernel"])
+        sd[f"head.model.field.density_net.{2 * i + 1}.bias"] = \
+            torch.randn(*field[f"density_{i}"]["bias"].shape)
+    sd[f"head.model.field.density_net.{2 * n_hidden + 1}.weight"] = \
+        lin(field["density_out"]["kernel"])
+    sd[f"head.model.field.density_net.{2 * n_hidden + 1}.bias"] = \
+        torch.randn(*field["density_out"]["bias"].shape)
     return sd
 
 
@@ -128,6 +142,17 @@ def test_reference_checkpoint_roundtrip():
     neck = sd["img_neck.lateral_convs.2.conv.weight"].numpy()
     got = np.asarray(merged["params"]["img_neck"]["lateral_2"]["kernel"])
     np.testing.assert_allclose(got, np.transpose(neck, (2, 3, 1, 0)), rtol=1e-6)
+    # field MLP landed: first hidden + output layer, transposed
+    f0 = sd["head.model.field.density_net.1.weight"].numpy()
+    got = np.asarray(merged["params"]["head"]["field"]["density_0"]["kernel"])
+    np.testing.assert_allclose(got, f0.T, rtol=1e-6)
+    keys = sorted(sd)
+    out_idx = max(int(k.split(".")[-2]) for k in keys
+                  if "density_net" in k)
+    fo = sd[f"head.model.field.density_net.{out_idx}.weight"].numpy()
+    got = np.asarray(
+        merged["params"]["head"]["field"]["density_out"]["kernel"])
+    np.testing.assert_allclose(got, fo.T, rtol=1e-6)
 
     # the merged variables still drive the model
     out, _ = jax.jit(lambda v: model.apply(
