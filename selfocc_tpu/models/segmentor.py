@@ -143,27 +143,35 @@ class TPVSegmentor(nn.Module):
         feats = self.img_neck(feats)
         out = []
         for f in feats:
-            if flip:
-                f = f[:, :, ::-1]
+            # flip may be a traced bool (batch["flip"] under jit); the
+            # reference flips features along W when metas['flip']
+            # (tpv_segmentor.py:53-55)
+            f = jnp.where(jnp.asarray(flip), f[:, :, ::-1], f)
             f = f.astype(jnp.float32)   # encoder embeds/projection are fp32
             out.append(f.reshape(B, N, *f.shape[1:]))
         return out
 
     def get_representation(self, imgs, lidar2img, train: bool = False,
-                           flip: bool = False):
+                           flip: bool = False, focal_ratios_x=None,
+                           focal_ratios_y=None):
         """backbone -> neck -> lifter -> encoder."""
         ms_img_feats = self.extract_img_feat(imgs, train=train, flip=flip)
         rep = self.lifter(ms_img_feats)["representation"]
         img_shape = (imgs.shape[2], imgs.shape[3])
         rep = self.encoder(rep, ms_img_feats, lidar2img, img_shape,
+                           focal_ratios_x=focal_ratios_x,
+                           focal_ratios_y=focal_ratios_y,
                            deterministic=not train)["representation"]
         return rep
 
     # ------------------------------------------------------------------ modes
     def __call__(self, imgs, lidar2img, img2lidar, rng=None,
-                 global_iter=None, train: bool = True, flip: bool = False):
+                 global_iter=None, train: bool = True, flip: bool = False,
+                 focal_ratios_x=None, focal_ratios_y=None):
         """Training forward -> head render outputs (loss inputs)."""
-        rep = self.get_representation(imgs, lidar2img, train=train, flip=flip)
+        rep = self.get_representation(imgs, lidar2img, train=train, flip=flip,
+                                      focal_ratios_x=focal_ratios_x,
+                                      focal_ratios_y=focal_ratios_y)
         return self.head(rep, img2lidar, rng=rng, global_iter=global_iter,
                          train=train)
 

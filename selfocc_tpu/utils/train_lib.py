@@ -104,11 +104,20 @@ def make_loss_fn(model, cfg: Config):
         variables = {"params": params, "batch_stats": batch_stats}
         if consts is not None:
             variables["consts"] = consts
+        # aug plumbing (reference transform_3d.py:323-377 -> tpv_segmentor
+        # flip, bevformer/utils.py:198-204 focal ratios)
+        aug_kwargs = {}
+        if "flip" in batch:
+            aug_kwargs["flip"] = batch["flip"]
+        if "focal_ratios_x" in batch:
+            aug_kwargs["focal_ratios_x"] = batch["focal_ratios_x"]
+            aug_kwargs["focal_ratios_y"] = batch["focal_ratios_y"]
         out, mutated = model.apply(
             variables,
             batch["imgs"], batch["lidar2img"], batch[trans_kw],
             fwd_rng, global_iter, True,
-            rngs={"dropout": drop_rng}, mutable=["batch_stats"])
+            rngs={"dropout": drop_rng}, mutable=["batch_stats"],
+            **aug_kwargs)
         inputs = build_loss_inputs(cfg, out, batch)
         tot, ldict = loss_fn(inputs)
         return tot, (ldict, mutated["batch_stats"])

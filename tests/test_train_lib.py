@@ -46,6 +46,39 @@ def test_single_train_step_decreases_nothing_blows_up(tiny_setup):
     assert np.isfinite(float(metrics['grad_norm']))
 
 
+def test_flip_and_focal_plumbed_into_loss(tiny_setup):
+    """VERDICT r1 #7: batch['flip'] / focal_ratios must reach the model
+    inside the train-step loss (reference consumes both,
+    tpv_segmentor.py:53-55, bevformer/utils.py:198-204)."""
+    from selfocc_tpu.utils.train_lib import make_loss_fn
+    cfg, model, batch, state = tiny_setup
+    compute = jax.jit(make_loss_fn(model, cfg))
+    rng = jax.random.PRNGKey(3)
+
+    b_off = dict(batch, flip=jnp.asarray(False))
+    b_on = dict(batch, flip=jnp.asarray(True))
+    l_off, _ = compute(state.params, state.batch_stats, state.consts,
+                       b_off, rng, state.step)
+    l_on, _ = compute(state.params, state.batch_stats, state.consts,
+                      b_on, rng, state.step)
+    assert float(l_off) != float(l_on), \
+        "flip flag does not reach the feature extractor"
+
+    n = cfg.num_cams
+    b_f1 = dict(batch, focal_ratios_x=jnp.ones((n,)),
+                focal_ratios_y=jnp.ones((n,)))
+    b_f2 = dict(batch, focal_ratios_x=jnp.full((n,), 0.5),
+                focal_ratios_y=jnp.full((n,), 0.5))
+    l_f1, _ = compute(state.params, state.batch_stats, state.consts,
+                      b_f1, rng, state.step)
+    l_f2, _ = compute(state.params, state.batch_stats, state.consts,
+                      b_f2, rng, state.step)
+    assert float(l_f1) != float(l_f2), \
+        "focal ratios do not reach point_sampling"
+    # ratio 1.0 must be a no-op vs no ratios at all
+    np.testing.assert_allclose(float(l_f1), float(l_off), rtol=1e-6)
+
+
 def test_dp_train_step_8_devices(tiny_setup):
     cfg, model, batch, state = tiny_setup
     n = len(jax.devices())

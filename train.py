@@ -115,6 +115,15 @@ def get_dataloader(cfg, synthetic: bool):
 
 def main():
     args = parse_args()
+    # multi-host SPMD: the reference spawns one process per GPU and runs
+    # NCCL DDP (train.py:32-45,400-403); the TPU equivalent is one process
+    # per host + jax.distributed (coordinator over DCN) with the SAME train
+    # step — pjit/psum handle both ICI and DCN. Env-guarded so single-host
+    # runs (and the sandbox's single chip) are untouched.
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("SELFOCC_MULTIHOST"):
+        import jax
+        jax.distributed.initialize()
     import jax
     from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
     enable_jax_cache()
@@ -141,7 +150,7 @@ def main():
     logger.info(f"config: {cfg.name}; devices: {jax.devices()}")
 
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    sample = as_arrays(ds[0])
 
     model = TPVSegmentor(cfg=cfg.model)
     rng = jax.random.PRNGKey(args.seed)
@@ -179,13 +188,20 @@ def main():
     max_epochs = args.epochs or cfg.max_epochs
     steps_done = 0
     t_data = t_step = 0.0
+    # epoch order + iter-resume skip via the DistributedSampler (reference
+    # CustomDistributedSampler, dataset/sampler.py:12-137); sharded by host
+    # process in multi-host runs, per-device batching happens in the step.
+    from selfocc_tpu.data.sampler import DistributedSampler
+    sampler = DistributedSampler(
+        len(ds), num_replicas=jax.process_count(),
+        rank=jax.process_index(), shuffle=True, seed=args.seed)
     for epoch in range(start_epoch, max_epochs):
-        order = np.random.RandomState(args.seed + epoch).permutation(len(ds))
-        start_i = 0
+        sampler.set_epoch(epoch)
         if last_iter is not None and epoch == start_epoch:
-            start_i = last_iter % max(len(ds), 1)  # sampler skip on resume
+            sampler.set_last_iter(last_iter % max(len(ds), 1))
             last_iter = None
-        i = start_i
+        order = list(iter(sampler))
+        i = 0
         while i < len(order):
             t0 = time.time()
             if use_dp:
@@ -197,7 +213,7 @@ def main():
                     jax.random.fold_in(rng, global_iter), n_dev)
                 i += n_dev
             else:
-                batch = {k: jnp.asarray(v) for k, v in ds[int(order[i])].items()}
+                batch = as_arrays(ds[int(order[i])])
                 rngs = jax.random.fold_in(rng, global_iter)
                 i += 1
             t_data += time.time() - t0
@@ -225,12 +241,14 @@ def main():
                 t_step += time.time() - t0
             global_iter += 1
             steps_done += 1
-            if args.ckpt_freq_iters and global_iter % args.ckpt_freq_iters == 0:
+            if args.ckpt_freq_iters and global_iter % args.ckpt_freq_iters == 0 \
+                    and jax.process_index() == 0:
                 save_checkpoint(ckpt_dir, state, epoch, global_iter,
                                 last_iter=i if args.iter_resume else None)
             if args.max_steps and steps_done >= args.max_steps:
                 break
-        save_checkpoint(ckpt_dir, state, epoch + 1, global_iter)
+        if jax.process_index() == 0:   # rank-0 ckpt (reference train.py:290)
+            save_checkpoint(ckpt_dir, state, epoch + 1, global_iter)
         logger.info(f"epoch {epoch} done; checkpoint saved at {ckpt_dir}")
         if args.eval_every_epoch:
             run_epoch_eval(model, state, cfg, ds, logger,
@@ -242,7 +260,14 @@ def main():
 
 
 def batch_keys(b):
-    return list(b.keys())
+    return [k for k, v in b.items() if not isinstance(v, (str, dict))]
+
+
+def as_arrays(item):
+    """Drop host-only entries (label paths, tokens) from a dataset item."""
+    import jax.numpy as jnp
+    return {k: jnp.asarray(v) for k, v in item.items()
+            if not isinstance(v, (str, dict))}
 
 
 if __name__ == "__main__":
