@@ -47,9 +47,28 @@ def main():
     cfg, model = load_model_for_eval(args.py_config, args.ckpt_path)
     logger = get_logger(args.work_dir)
 
+    # real novel-view eval dataset (reference eval_novel_depth.py:133-229 over
+    # nuScenes_One_Frame_Eval); synthetic novel_view_sample fallback
+    real_ds = None
+    if not args.synthetic:
+        try:
+            from selfocc_tpu.data import build_dataset
+            real_ds = build_dataset(cfg, phase="novel_eval")
+        except FileNotFoundError:
+            real_ds = None
     from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    ds = real_ds if real_ds is not None else get_dataloader(cfg, True)
+
+    if real_ds is not None:
+        from selfocc_tpu.utils.eval_lib import prep_input_imgs
+        input_imgs, _, metas0 = ds[0]
+        sample = {"imgs": prep_input_imgs(input_imgs, cfg),
+                  "lidar2img": jnp.asarray(metas0["lidar2img"],
+                                           jnp.float32)[None],
+                  cfg.model.head.trans_kw: jnp.asarray(
+                      metas0["img2lidar"], jnp.float32)[None]}
+    else:
+        sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
@@ -60,8 +79,41 @@ def main():
     buckets = defaultdict(lambda: defaultdict(list))
     n = args.num_samples or len(ds)
     n = min(n, len(ds))
+
+    def score(depth, loc, gt_all, mask_all, bucket):
+        pix = np.stack([loc[..., 0] * (rw - 1), loc[..., 1] * (rh - 1)], -1)
+        for c in range(cfg.num_cams):
+            m = np.asarray(mask_all[c]).astype(bool)
+            if m.sum() == 0:
+                continue
+            pred = np.asarray(bilinear_sample(
+                jnp.asarray(depth[c][..., None]), jnp.asarray(pix[c]),
+                "border"))[..., 0][m]
+            md = cal_depth_metric(pred, np.asarray(gt_all[c])[m])
+            for k, v in md.items():
+                buckets[bucket][k].append(v)
+
     for i in range(n):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        if real_ds is not None:
+            input_imgs, _, metas = ds[i]
+            imgs = prep_input_imgs(input_imgs, cfg)
+            lidar2img = jnp.asarray(metas["lidar2img"], jnp.float32)[None]
+            volume = renderer.prepare(imgs, lidar2img)
+            # per temporal neighbor: render from its poses
+            # (render_img2lidar = temImg2lidars[src], reference :169-171)
+            for j, tem in enumerate(metas["temImg2lidars"]):
+                origin, direction = rays_for_cams(
+                    jnp.asarray(tem, jnp.float32)[None], rays)
+                out = renderer.render(volume, origin, direction)
+                depth = out["depth"].reshape(cfg.num_cams, rh, rw)
+                score(depth, np.asarray(metas["depth_loc"][j]),
+                      metas["depth_gt"][j], metas["depth_mask"][j],
+                      math.ceil(metas["frame_dists"][j]))
+            logger.info(f"[{i + 1}/{n}] rendered "
+                        f"{len(metas['temImg2lidars'])} novel views")
+            continue
+        batch = {k: jnp.asarray(v) for k, v in ds[i].items()
+                 if not isinstance(v, (str, dict))}
         volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
         for off in args.offsets:
             if hasattr(ds, "novel_view_sample"):
@@ -72,20 +124,8 @@ def main():
                 jnp.asarray(nb["temImg2lidar"]), rays)
             out = renderer.render(volume, origin, direction)
             depth = out["depth"].reshape(cfg.num_cams, rh, rw)
-            loc = nb["depth_loc"]
-            pix = np.stack([loc[..., 0] * (rw - 1), loc[..., 1] * (rh - 1)], -1)
-            bucket = math.ceil(nb["frame_dist"])
-            for c in range(cfg.num_cams):
-                m = nb["depth_mask"][c]
-                if m.sum() == 0:
-                    continue
-                pred = np.asarray(bilinear_sample(
-                    jnp.asarray(depth[c][..., None]), jnp.asarray(pix[c]),
-                    "border"))[..., 0][m]
-                gt = nb["depth_gt"][c][m]
-                md = cal_depth_metric(pred, gt)
-                for k, v in md.items():
-                    buckets[bucket][k].append(v)
+            score(depth, nb["depth_loc"], nb["depth_gt"], nb["depth_mask"],
+                  math.ceil(nb["frame_dist"]))
         logger.info(f"[{i + 1}/{n}] rendered {len(args.offsets)} novel views")
 
     logger.info(("{:>8} | " * 8).format(

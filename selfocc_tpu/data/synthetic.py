@@ -160,12 +160,19 @@ class SyntheticDataset:
         def b(x):
             return x[None].astype(np.float32)
 
+        # The wrapper divides raw 0..255 images by 256 (reference
+        # dataset_wrapper_temporal.py:166-170) so real supervision pixels land
+        # in [0, 1). The procedural renders are ALREADY unit-scale — scale by
+        # 255/256 to land on the same range (a plain /256 once squashed
+        # supervision to ~0.004, silencing the photometric losses: SSIM's
+        # [0,1]-tuned constants dominated and reproj gradients vanished).
+        sup_scale = 255.0 / 256.0
         return {
             "imgs": b(imgs),
-            "curr_imgs": b(curr) / 256.0,
-            "prev_imgs": b(prev) / 256.0,
-            "next_imgs": b(nxt) / 256.0,
-            "color_imgs": b(curr) / 256.0,
+            "curr_imgs": b(curr) * sup_scale,
+            "prev_imgs": b(prev) * sup_scale,
+            "next_imgs": b(nxt) * sup_scale,
+            "color_imgs": b(curr) * sup_scale,
             "sem_gt": sem[None],
             "lidar2img": b(l2i_in),
             "img2lidar": b(i2l),

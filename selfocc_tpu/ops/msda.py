@@ -61,20 +61,98 @@ def _bilinear_gather_cf(v_flat, xy, h, w):
     return out.reshape(-1, Q, P)
 
 
+def _bundle_corners_2d(v, h, w):
+    """(BH, C, h*w) -> (BH, 4C, h*w): row i carries the 2x2 corner block
+    anchored at pixel i, channel blocks ordered
+    [(y, x), (y, x+1), (y+1, x), (y+1, x+1)]. Far-edge slots are zero-padded
+    but never read with nonzero weight (the gather base is clamped to
+    [0, size-2]). 2D analog of ``interp.bundle_corners_cf`` — one fat gather
+    per sampling point instead of 4 (gathers are row-rate-bound and payload-
+    insensitive to ~256 channels, docs/PERFORMANCE.md)."""
+    BH, C = v.shape[0], v.shape[1]
+    vi = v.reshape(BH, C, h, w)
+    blocks = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            s = vi[:, :, dy:, dx:]
+            s = jnp.pad(s, ((0, 0), (0, 0), (0, dy), (0, dx)))
+            blocks.append(s)
+    return jnp.concatenate(blocks, axis=1).reshape(BH, 4 * C, h * w)
+
+
+def _axis_block_weights(base, i0, frac):
+    """Zeros-padding bilinear weights re-expressed on the clamped physical
+    2-slot block (same scheme as ``interp._block_weights``): slot s at
+    coordinate base+s receives the weight of whichever logical corner
+    (i0 -> 1-frac, i0+1 -> frac) lands on it, else 0 — OOB logical corners
+    (base can't equal them) contribute nothing, exactly grid_sample zeros."""
+    w0 = jnp.where(base == i0, 1.0 - frac,
+                   jnp.where(base == i0 + 1, frac, 0.0))
+    w1 = jnp.where(base + 1 == i0, 1.0 - frac,
+                   jnp.where(base + 1 == i0 + 1, frac, 0.0))
+    return w0, w1
+
+
+def _bilinear_gather_cf_bundled(vb, xy, h, w, C):
+    """Corner-bundled bilinear gather: vb (4C, h*w), xy (Q, P, 2) fractional
+    pixel coords -> (C, Q, P). ONE gather row per point (vs 4 in
+    ``_bilinear_gather_cf``). Channel blocks are SLICED, never reshaped to
+    (4, C, N) — that relayout tile-pads 6x (see CLAUDE.md)."""
+    Q, P = xy.shape[0], xy.shape[1]
+    x, y = xy[..., 0].reshape(-1), xy[..., 1].reshape(-1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    bx = jnp.clip(x0i, 0, max(w - 2, 0))
+    by = jnp.clip(y0i, 0, max(h - 2, 0))
+    wx0, wx1 = _axis_block_weights(bx, x0i, fx)
+    wy0, wy1 = _axis_block_weights(by, y0i, fy)
+    lin = by * w + bx
+    g = jnp.take(vb, lin, axis=1)                         # (4C, QP)
+    dt = vb.dtype
+    out = (wy0 * wx0)[None].astype(dt) * g[0:C] \
+        + (wy0 * wx1)[None].astype(dt) * g[C:2 * C] \
+        + (wy1 * wx0)[None].astype(dt) * g[2 * C:3 * C] \
+        + (wy1 * wx1)[None].astype(dt) * g[3 * C:4 * C]
+    return out.reshape(C, Q, P)
+
+
 def _msda_dense(value_levels, sampling_locations, attention_weights,
-                spatial_shapes):
+                spatial_shapes, bundle_corners: bool = True):
     """Unchunked core. value_levels: list of (B, H, h, w, D).
 
     Each level's gather+reduce is a ``jax.checkpoint`` region: the backward
     otherwise keeps every level's (B*H, D, Q, P) sample tensor live at once
     (observed 45 GB HLO temp on the flagship train step) — recomputing them
-    level-by-level bounds the peak to one level."""
+    level-by-level bounds the peak to one level.
+
+    ``bundle_corners`` packs the 2x2 corner block into channels so each
+    sampling point costs ONE gather row (4D payload) instead of 4 (D payload)
+    — numerically identical to fp reassociation, ~4x on the row-rate-bound
+    flagship encoder."""
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
 
     def level_term(v, loc, w_l, h, w):
         xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
         xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
+        if bundle_corners:
+            vb = _bundle_corners_2d(v, h, w)
+            # chunk the point axis by 4: the bundled gather result is 4x
+            # fatter (4D channels) than a per-corner gather, so an unchunked
+            # (B*H, 4D, Q*P) transient OOMs the flagship forward (observed
+            # 19 GB); quartering P keeps the live transient at the
+            # per-corner path's size while retaining the 4x row reduction.
+            pc = max(P // 4, 1)
+            out_l = jnp.zeros((B * H, Q, D), dtype=v.dtype)
+            for p0 in range(0, P, pc):
+                samp = jax.vmap(
+                    lambda vf, c: _bilinear_gather_cf_bundled(
+                        vf, c, h, w, D))(vb, xy[:, :, p0:p0 + pc])
+                out_l = out_l + jnp.einsum('bdqp,bqp->bqd', samp,
+                                           w_l[:, :, p0:p0 + pc])
+            return out_l
         samp = jax.vmap(
             lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
         # samp: (B*H, D, Q, P)
@@ -146,7 +224,8 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
-                   query_chunk: int = 0, shared_locations: bool = False):
+                   query_chunk: int = 0, shared_locations: bool = False,
+                   bundle_corners: bool = True):
     """Multi-scale deformable attention.
 
     Args:
@@ -186,7 +265,7 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
 
     if query_chunk <= 0 or query_chunk >= Q:
         out = _msda_dense(value_levels, sampling_locations, attention_weights,
-                          spatial_shapes)
+                          spatial_shapes, bundle_corners=bundle_corners)
         return out.reshape(B, Q, H * D)
 
     pad = (-Q) % query_chunk
@@ -198,7 +277,8 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
 
     def body(args):
         loc_c, att_c = args
-        return _msda_dense(value_levels, loc_c, att_c, spatial_shapes)
+        return _msda_dense(value_levels, loc_c, att_c, spatial_shapes,
+                           bundle_corners=bundle_corners)
 
     out = jax.lax.map(body, (loc, att))                  # n_chunks,B,Qc,H,D
     out = out.swapaxes(0, 1).reshape(B, Q + pad, H, D)[:, :Q]

@@ -142,6 +142,24 @@ class ChunkedRenderer:
         return res
 
 
+def prep_input_imgs(input_imgs, cfg: Config):
+    """Val-pipeline (Normalize -> RandomScale(cfg.scale_rate) -> Pad div 32)
+    on a list of raw HWC images -> (1, N, H, W, 3) network input — for raw
+    eval datasets that bypass the TemporalDatasetWrapper (the reference wraps
+    them in the standard val wrapper, ``dataset/__init__.py:20-106``)."""
+    import numpy as np
+    from ..data.transforms import (IMG_NORM, NormalizeMultiviewImage,
+                                   PadMultiViewImage,
+                                   RandomScaleImageMultiViewImage,
+                                   forward_aug)
+    transforms = [NormalizeMultiviewImage(**IMG_NORM)]
+    if cfg.scale_rate != 1:
+        transforms.append(RandomScaleImageMultiViewImage([cfg.scale_rate]))
+    transforms.append(PadMultiViewImage(size_divisor=32))
+    imgs, _ = forward_aug(list(input_imgs), {}, transforms)
+    return jnp.asarray(np.stack(imgs).astype(np.float32))[None]
+
+
 def eval_ray_grid(cfg: Config, num_rays=None):
     """Fixed eval ray grid (reference ``modify_for_eval`` NUM_RAYS,
     ``utils/config_tools.py:1-14``)."""

@@ -16,20 +16,28 @@ from typing import Optional
 
 def get_logger(work_dir: Optional[str] = None, name: str = "selfocc") -> logging.Logger:
     logger = logging.getLogger(name)
-    if logger.handlers:
-        return logger
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
     logger.setLevel(logging.INFO)
     logger.propagate = False
-    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-    sh = logging.StreamHandler(sys.stdout)
-    sh.setFormatter(fmt)
-    logger.addHandler(sh)
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in logger.handlers):
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
     if work_dir:
-        os.makedirs(work_dir, exist_ok=True)
-        ts = time.strftime("%Y%m%d_%H%M%S")
-        fh = logging.FileHandler(os.path.join(work_dir, f"{ts}.log"))
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        # a second driver in the same process must log into ITS work_dir —
+        # add a file handler unless one already points there
+        wd = os.path.abspath(work_dir)
+        has = any(isinstance(h, logging.FileHandler)
+                  and os.path.dirname(h.baseFilename) == wd
+                  for h in logger.handlers)
+        if not has:
+            os.makedirs(work_dir, exist_ok=True)
+            ts = time.strftime("%Y%m%d_%H%M%S")
+            fh = logging.FileHandler(os.path.join(work_dir, f"{ts}.log"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
