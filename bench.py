@@ -9,12 +9,79 @@ field volume and reports rays/sec plus the ratio vs that baseline.
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N/400}
+
+``--frame [CONFIG]`` instead measures the FULL per-frame eval latency
+(prepare: backbone -> encoder -> field decode, plus the 2.16M-ray render)
+through the real model on flagship shapes, reporting
+``eval_frame_seconds`` with a prepare/render breakdown — the reference
+anchor is the same 90-min GPU figure for one surround frame.
 """
 import argparse
 import json
 import time
 
 import numpy as np
+
+
+def bench_frame(args):
+    """Per-frame eval latency: prepare (backbone->encoder->decode) + render
+    (VERDICT r1 item 4). Uses the real TPVSegmentor on flagship shapes."""
+    import jax
+    from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
+    enable_jax_cache()
+    import jax.numpy as jnp
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.data.synthetic import SyntheticDataset
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, eval_ray_grid,
+                                            init_variables, rays_for_cams)
+
+    cfg = get_config(args.frame)
+    model = TPVSegmentor(cfg=cfg.model)
+    ds = SyntheticDataset(num_cams=cfg.num_cams, input_size=cfg.input_size,
+                          img_size=cfg.img_size)
+    batch = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    variables = init_variables(model, cfg, batch)
+    renderer = ChunkedRenderer(model, variables, chunk=args.chunk,
+                               shard=False, volume_dtype=args.dtype)
+
+    def fetch(x):
+        jax.block_until_ready(x)
+        return float(np.asarray(x).reshape(-1)[0])  # tunnel-safe sync
+
+    # compile both stages
+    vol = renderer.prepare(batch["imgs"], batch["lidar2img"])
+    fetch(vol)
+    rays = eval_ray_grid(cfg, tuple(args.rays))
+    origin, direction = rays_for_cams(batch["img2lidar"], rays)
+    renderer.render(vol, origin[:args.chunk], direction[:args.chunk])
+
+    t0 = time.time()
+    vol = renderer.prepare(batch["imgs"], batch["lidar2img"])
+    fetch(vol)
+    prep_s = time.time() - t0
+
+    total_rays = origin.shape[0]
+    t0 = time.time()
+    out = renderer.render(vol, origin, direction)
+    _ = out["depth"].sum()
+    render_s = time.time() - t0
+
+    frame_s = prep_s + render_s
+    baseline_s = 90 * 60.0  # one surround frame, RTX3090 (README.md:95)
+    val_frames = 6019       # nuScenes val keyframes
+    print(json.dumps({
+        "metric": "eval_frame_seconds",
+        "value": round(frame_s, 2),
+        "unit": "s/frame",
+        "vs_baseline": round(baseline_s / frame_s, 1),
+        "config": cfg.name,
+        "prepare_s": round(prep_s, 2),
+        "render_s": round(render_s, 2),
+        "render_rays_per_sec": round(total_rays / render_s, 1),
+        "est_val_6019_frames_v5e8_min": round(
+            val_frames * frame_s / 8 / 60, 1),
+    }))
 
 
 def main():
@@ -29,7 +96,14 @@ def main():
                     help="corner-bundled trilinear sampling (one fat gather "
                          "per sample; rows are the bottleneck)")
     ap.add_argument("--no-bundle", dest="bundle", action="store_false")
+    ap.add_argument("--frame", nargs="?", const="nuscenes_occ_fast",
+                    default=None, metavar="CONFIG",
+                    help="measure full prepare+render per-frame latency on "
+                         "CONFIG (default nuscenes_occ_fast) instead of the "
+                         "render-only headline")
     args = ap.parse_args()
+    if args.frame:
+        return bench_frame(args)
 
     import jax
     from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache

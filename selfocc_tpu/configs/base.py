@@ -32,12 +32,23 @@ class EncoderConfig:
     # rows; deviates from the reference's per-head deformable attention)
     shared_locations: bool = False
     remat_layers: bool = True   # recompute layers in backward (v5e OOM fix)
+    # per-plane FFN/norm parameter sets (reference MultiPlaneFFN/Norm,
+    # modules/split_fpn.py + split_norm.py; off in shipped configs)
+    multi_plane_ffn_norm: bool = False
+    # CameraAwareSE image-feature gating (camera_se_net.py:52-131; off in
+    # shipped configs) — needs intrinsic/cam2ego in the batch
+    camera_aware: bool = False
+    camera_aware_mid_channels: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
 class HeadConfig:
-    roi_aabb: Tuple[float, ...]
-    mapping_args: Dict[str, Any]
+    # "neus" (SDF field, reference model/head/neus_head) or "nerfacc"
+    # (density field, reference model/head/nerfacc_head) — selects which
+    # rendering head TPVSegmentor builds.
+    head_type: str = "neus"
+    roi_aabb: Tuple[float, ...] = ()
+    mapping_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
     resolution: float = 0.4
     near_plane: float = 0.0
     far_plane: float = 1e10
@@ -90,6 +101,9 @@ class ModelConfig:
     lifter_type: str = "TPVQueryLifter"          # or BEVQueryLifter / TPVPositionLifter
     lifter_args: Dict[str, Any] = dataclasses.field(default_factory=dict)
     backbone_type: str = "resnet50"
+    # "fpn" or "identity" (reference model/neck/identity_neck.py — a
+    # passthrough for backbones that already emit embed_dims channels)
+    neck_type: str = "fpn"
     img_backbone_out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     fpn_in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
     embed_dims: int = 96

@@ -326,6 +326,41 @@ def tiny() -> Config:
         warmup_iters=5, eval_num_rays=(8, 12))
 
 
+def _to_nerfacc(cfg: Config, name: str) -> Config:
+    """Swap a NeuS config's head for the density NeRFAccHead (reference
+    ``model/head/nerfacc_head/nerfacc_head.py:21-475``; no shipped reference
+    config uses it, so the recipe keeps the NeuS ray/field values and drops
+    the SDF-only regularizers — a density field has no eikonal/2nd-grad)."""
+    sdf_only = {"EikonalLoss", "SecondGradLoss", "SparsityLoss",
+                "HardSparsityLoss", "SoftSparsityLoss",
+                "AdaptiveSparsityLoss"}
+    loss_cfgs = [l for l in cfg.loss_cfgs if l["type"] not in sdf_only]
+    head = dataclasses.replace(
+        cfg.model.head, head_type="nerfacc",
+        # density fields composite depth opacity-normalized and need no
+        # second-grad/uniform-sdf outputs
+        return_second_grad=False, return_uniform_sdf=False,
+        return_surface_sdf=False, return_sample_sdf=False)
+    convertion = {k: v for k, v in cfg.loss_input_convertion.items()
+                  if k not in ("eik_grad", "second_grad", "uniform_sdf",
+                               "sample_sdf", "surface_sdf")}
+    model = dataclasses.replace(cfg.model, head=head)
+    return dataclasses.replace(cfg, name=name, model=model,
+                               loss_cfgs=loss_cfgs,
+                               loss_input_convertion=convertion)
+
+
+def tiny_nerfacc() -> Config:
+    """Tiny config on the density (NeRFAcc) head — exercises the
+    ``eval_iou --density`` pipeline end-to-end."""
+    return _to_nerfacc(tiny(), "tiny_nerfacc")
+
+
+def nuscenes_occ_density() -> Config:
+    """Flagship-scale density-field variant (NeRFAccHead)."""
+    return _to_nerfacc(nuscenes_occ(), "nuscenes_occ_density")
+
+
 def nuscenes_occ_fast() -> Config:
     """TPU fast recipe: the flagship ``nuscenes_occ`` with the two measured
     speed modes enabled — head-shared deformable sampling locations
@@ -351,6 +386,8 @@ _CONFIGS = {
     "kitti_raw_depth": kitti_raw_depth,
     "nuscenes_occ_bev": nuscenes_occ_bev,
     "nuscenes_occ_fast": nuscenes_occ_fast,
+    "tiny_nerfacc": tiny_nerfacc,
+    "nuscenes_occ_density": nuscenes_occ_density,
 }
 
 

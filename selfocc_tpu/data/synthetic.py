@@ -179,6 +179,9 @@ class SyntheticDataset:
             "temImg2lidar": b(i2l),
             "img2prevImg": b(img2prev),
             "img2nextImg": b(img2next),
+            # camera parameters for CameraAwareSE (camera_se_net.py:93-119)
+            "intrinsic": b(np.stack([self.K_in] * self.num_cams)),
+            "cam2ego": b(self.cam2lidar_in),
             "depth_loc": depth_loc.astype(np.float32),
             "depth_gt": depth_gt.astype(np.float32),
             "depth_mask": depth_mask,

@@ -95,6 +95,13 @@ class TemporalDatasetWrapper:
             "ego2lidar": metas["ego2lidar"][None].astype(np.float32),
             "flip": np.asarray(aug.get("flip", False)),
         }
+        # camera parameters for CameraAwareSE (reference camera_se_net.py
+        # consumes metas['intrinsic']/['cam2ego'])
+        if "intrinsic" in metas:
+            batch["intrinsic"] = np.asarray(metas["intrinsic"],
+                                            np.float32)[None]
+        if "cam2ego" in metas:
+            batch["cam2ego"] = np.asarray(metas["cam2ego"], np.float32)[None]
         if "focal_ratios_x" in aug:
             batch["focal_ratios_x"] = np.asarray(aug["focal_ratios_x"],
                                                  np.float32)

@@ -167,6 +167,57 @@ class DeformHeads(nn.Module):
         return offsets, attn
 
 
+class CameraAwareSE(nn.Module):
+    """Camera-parameter-conditioned SE gating of image features (reference
+    ``model/encoder/tpvformer/modules/camera_se_net.py:52-131``, off in all
+    shipped configs).
+
+    Per camera: 16 scalars [fx, fy, cx, cy, cam2ego[:3,:].flatten] ->
+    BatchNorm -> MLP -> sigmoid gate; per level: reduce conv (3x3+BN+ReLU
+    when in!=mid) -> gated -> 1x1 conv. The MLP's second layer is
+    zero-weight / bias-10 initialized (``init_weight``), so the gate starts
+    at sigmoid(10) ~= 1 and the block is (conv-modulated) identity-like."""
+
+    in_channels: int
+    mid_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, ms_img_feats, intrinsic, cam2ego, train: bool = False):
+        # ms_img_feats: list of (B, N, h, w, C) NHWC; intrinsic/cam2ego:
+        # (B, N, 4, 4)
+        B, N = intrinsic.shape[:2]
+        mlp_in = jnp.concatenate([
+            jnp.stack([intrinsic[..., 0, 0], intrinsic[..., 1, 1],
+                       intrinsic[..., 0, 2], intrinsic[..., 1, 2]], -1),
+            cam2ego[..., :3, :].reshape(B, N, 12)], -1)   # (B, N, 16)
+        mlp_in = nn.BatchNorm(use_running_average=not train,
+                              name="bn")(mlp_in.reshape(B * N, 16))
+        h = nn.Dense(self.mid_channels, name="context_mlp_fc1")(mlp_in)
+        h = nn.relu(h)
+        h = nn.Dense(self.mid_channels, kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.constant(10.0),
+                     name="context_mlp_fc2")(h)
+        gate = jax.nn.sigmoid(h)[:, None, None, :]        # (B*N, 1, 1, mid)
+
+        # the convs/BN are shared across pyramid levels (reference applies
+        # the same self.reduce_conv / self.context_conv to every scale)
+        reduce_conv = nn.Conv(self.mid_channels, (3, 3), padding="SAME",
+                              name="reduce_conv")
+        reduce_bn = nn.BatchNorm(use_running_average=not train,
+                                 name="reduce_bn")
+        context_conv = nn.Conv(self.out_channels, (1, 1), name="context_conv")
+        outputs = []
+        for f in ms_img_feats:
+            x = f.reshape((B * N,) + f.shape[2:])
+            if self.in_channels != self.mid_channels:
+                x = nn.relu(reduce_bn(reduce_conv(x)))
+            x = x * gate
+            x = context_conv(x)
+            outputs.append(x.reshape((B, N) + x.shape[1:]))
+        return outputs
+
+
 class CrossViewHybridAttention(nn.Module):
     """TPV self-attention across the 3 planes (reference
     ``cross_view_hybrid_attention.py:12-124``): the planes act as the 3
@@ -313,6 +364,10 @@ class TPVFormerLayer(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     shared_locations: bool = False
+    # per-plane norm/FFN parameter sets (reference MultiPlaneNorm /
+    # MultiPlaneFFN, modules/split_norm.py + split_fpn.py; off in shipped
+    # configs)
+    multi_plane_ffn_norm: bool = False
     deterministic: bool = True
 
     @nn.compact
@@ -325,6 +380,16 @@ class TPVFormerLayer(nn.Module):
         sizes = [H * W, D * H, W * D]
         plane_shapes = ((H, W), (D, H), (W, D))
 
+        def norm(x_planes, name):
+            """LayerNorm over planes: shared params on the concatenated
+            sequence, or per-plane params under multi_plane_ffn_norm
+            (reference tpvformer_encoder_layer.py:186-190)."""
+            if self.multi_plane_ffn_norm:
+                return [nn.LayerNorm(name=f"{name}_{i}")(p)
+                        for i, p in enumerate(x_planes)]
+            q = nn.LayerNorm(name=name)(jnp.concatenate(x_planes, axis=1))
+            return jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+
         # ---- cross-view hybrid self-attention over concatenated planes
         q = jnp.concatenate(planes, axis=1)
         pos = jnp.concatenate(tpv_pos, axis=1)
@@ -335,8 +400,7 @@ class TPVFormerLayer(nn.Module):
             name="self_attn")(
                 q, pos, cross_view_ref, plane_shapes,
                 deterministic=deterministic)
-        q = nn.LayerNorm(name="norm1")(q)
-        planes = jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+        planes = norm(jnp.split(q, np.cumsum(sizes)[:-1], axis=1), "norm1")
 
         # ---- per-plane image cross-attention; per-plane point counts follow
         # reference TPVCrossAttention: hw->num_points[2], zh->[1], wz->[0]
@@ -358,15 +422,22 @@ class TPVFormerLayer(nn.Module):
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
             new_planes.append(out)
-        q = jnp.concatenate(new_planes, axis=1)
-        q = nn.LayerNorm(name="norm2")(q)
+        planes = norm(new_planes, "norm2")
 
-        # ---- FFN
-        q = FFN(self.embed_dims, self.feedforward_channels,
-                ffn_drop=self.dropout, name="ffn")(
-                    q, deterministic=deterministic)
-        q = nn.LayerNorm(name="norm3")(q)
-        return tuple(jnp.split(q, np.cumsum(sizes)[:-1], axis=1)), None
+        # ---- FFN (per-plane params under multi_plane_ffn_norm, reference
+        # split_fpn.py:35-41)
+        if self.multi_plane_ffn_norm:
+            planes = [FFN(self.embed_dims, self.feedforward_channels,
+                          ffn_drop=self.dropout, name=f"ffn_{i}")(
+                              p, deterministic=deterministic)
+                      for i, p in enumerate(planes)]
+        else:
+            q = FFN(self.embed_dims, self.feedforward_channels,
+                    ffn_drop=self.dropout, name="ffn")(
+                        jnp.concatenate(planes, axis=1),
+                        deterministic=deterministic)
+            planes = jnp.split(q, np.cumsum(sizes)[:-1], axis=1)
+        return tuple(norm(planes, "norm3")), None
 
 
 class DeformableSelfAttention(nn.Module):
@@ -613,6 +684,9 @@ class TPVFormerEncoder(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     shared_locations: bool = False   # TPU fast attention (see DeformHeads)
+    multi_plane_ffn_norm: bool = False
+    camera_aware: bool = False       # CameraAwareSE image-feature gating
+    camera_aware_mid_channels: Optional[int] = None
 
     @property
     def tpv_size(self):
@@ -622,7 +696,7 @@ class TPVFormerEncoder(nn.Module):
     @nn.compact
     def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
                  focal_ratios_x=None, focal_ratios_y=None,
-                 deterministic=True):
+                 intrinsic=None, cam2ego=None, deterministic=True):
         """Args:
           representation: [hw (B,HW,C), zh (B,DH,C), wz (B,WD,C)] queries.
           ms_img_feats: list of (B, N, h_l, w_l, C) per level (channel-last).
@@ -647,6 +721,18 @@ class TPVFormerEncoder(nn.Module):
         cams_embeds = self.param(
             "cams_embeds", nn.initializers.normal(1.0),
             (self.num_cams, self.embed_dims))
+
+        # optional camera-aware SE gating (tpvformer_encoder.py:258-259)
+        if self.camera_aware:
+            if intrinsic is None or cam2ego is None:
+                raise ValueError(
+                    "camera_aware=True needs intrinsic/cam2ego in the batch")
+            mid = self.camera_aware_mid_channels or self.embed_dims
+            ms_img_feats = CameraAwareSE(
+                in_channels=self.embed_dims, mid_channels=mid,
+                out_channels=self.embed_dims, name="camera_se_net")(
+                    ms_img_feats, intrinsic, cam2ego,
+                    train=not deterministic)
 
         # flatten pyramid + camera/level embeds (tpvformer_encoder.py:261-277)
         feats = []
@@ -704,6 +790,7 @@ class TPVFormerEncoder(nn.Module):
             self_query_chunk=self.self_query_chunk,
             cross_query_chunk=self.cross_query_chunk,
             shared_locations=self.shared_locations,
+            multi_plane_ffn_norm=self.multi_plane_ffn_norm,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,
                           cross_view_ref, tuple(ref_cams_list),

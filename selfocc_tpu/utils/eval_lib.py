@@ -23,8 +23,7 @@ from ..geometry.ray_sampler import RaySampler
 from ..models.segmentor import TPVSegmentor
 
 
-def load_model_for_eval(config_name: str, ckpt_path: str = "",
-                        seed: int = 42):
+def load_model_for_eval(config_name: str, ckpt_path: str = ""):
     """Build the model + variables (random init when no checkpoint — enough
     for pipeline validation; real checkpoints restore via Orbax)."""
     cfg = get_config(config_name)

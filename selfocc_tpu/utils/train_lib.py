@@ -112,6 +112,9 @@ def make_loss_fn(model, cfg: Config):
         if "focal_ratios_x" in batch:
             aug_kwargs["focal_ratios_x"] = batch["focal_ratios_x"]
             aug_kwargs["focal_ratios_y"] = batch["focal_ratios_y"]
+        if cfg.model.encoder.camera_aware:
+            aug_kwargs["intrinsic"] = batch["intrinsic"]
+            aug_kwargs["cam2ego"] = batch["cam2ego"]
         out, mutated = model.apply(
             variables,
             batch["imgs"], batch["lidar2img"], batch[trans_kw],

@@ -194,3 +194,22 @@ def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
     _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
                     "--synthetic", "--num-samples", "1",
                     "--resolution", "1.0"], monkeypatch)
+
+
+def test_eval_iou_density_nerfacc(workdir, monkeypatch):
+    """NeRFAccHead density pipeline through eval_iou --density (reference
+    nerfacc_head.py density field; VERDICT r1 item 9 wiring)."""
+    import eval_iou
+    _run(eval_iou, ["--py-config", "tiny_nerfacc", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0", "--density", "--thresh", "0.5"],
+         monkeypatch)
+
+
+def test_train_step_nerfacc(workdir, monkeypatch):
+    """One training step on the density head (reproj+rgb+sem losses, no SDF
+    regularizers)."""
+    import train
+    _run(train, ["--py-config", "tiny_nerfacc", "--work-dir", workdir,
+                 "--synthetic", "--max-steps", "1", "--print-freq", "1"],
+         monkeypatch)

@@ -1,0 +1,134 @@
+"""Config-space completeness modules (VERDICT r1 item 10): CameraAwareSE,
+MultiPlaneFFN/Norm, IdentityNeck."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from selfocc_tpu.models.segmentor import TPVSegmentor
+from utils_tiny import make_cameras, tiny_config
+
+
+def _forward_rep(cfg, batch_extra=None):
+    model = TPVSegmentor(cfg.model)
+    cams = make_cameras(cfg.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(1, cfg.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    kwargs = dict(batch_extra or {})
+    variables = model.init({"params": rng, "dropout": rng}, imgs,
+                           cams["lidar2img"], train=False,
+                           method="get_representation", **kwargs)
+    rep = model.apply(variables, imgs, cams["lidar2img"], train=False,
+                      method="get_representation", **kwargs)
+    return variables, rep
+
+
+def test_multi_plane_ffn_norm():
+    """Per-plane FFN/norm parameter sets (reference split_fpn.py:29-41,
+    split_norm.py:22-31): 3 FFNs + 3x3 norms per layer, forward finite."""
+    cfg = tiny_config(enc_kw=dict(multi_plane_ffn_norm=True))
+    variables, rep = _forward_rep(cfg)
+    layer_params = variables["params"]["encoder"]["layers"]
+    for i in range(3):
+        assert f"ffn_{i}" in layer_params
+        for n in ("norm1", "norm2", "norm3"):
+            assert f"{n}_{i}" in layer_params
+    assert "ffn" not in layer_params
+    for p in rep:
+        assert bool(jnp.isfinite(p).all())
+
+
+def test_multi_plane_matches_shared_at_identical_params():
+    """With all planes carried through the same math, multi-plane mode is the
+    same function as shared mode when its three per-plane parameter sets are
+    copies of the shared set (split params only change *which* weights apply,
+    not the computation)."""
+    cfg_s = tiny_config()
+    cfg_m = tiny_config(enc_kw=dict(multi_plane_ffn_norm=True))
+    v_s, rep_s = _forward_rep(cfg_s)
+    v_m, _ = _forward_rep(cfg_m)
+
+    import flax
+    pm = flax.core.unfreeze(v_m["params"])
+    ps = v_s["params"]
+    lp_s, lp_m = ps["encoder"]["layers"], pm["encoder"]["layers"]
+    for i in range(3):
+        lp_m[f"ffn_{i}"] = jax.tree_util.tree_map(lambda x: x, lp_s["ffn"])
+        for n in ("norm1", "norm2", "norm3"):
+            lp_m[f"{n}_{i}"] = jax.tree_util.tree_map(lambda x: x, lp_s[n])
+    for k in lp_s:
+        if k not in ("ffn", "norm1", "norm2", "norm3"):
+            lp_m[k] = lp_s[k]
+    for k in ps:
+        if k != "encoder":
+            pm[k] = ps[k]
+    for k in ps["encoder"]:
+        if k != "layers":
+            pm["encoder"][k] = ps["encoder"][k]
+
+    model = TPVSegmentor(cfg_m.model)
+    cams = make_cameras(cfg_m.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(1, cfg_m.num_cams, 32, 48, 3),
+        jnp.float32)
+    vars_m = dict(v_m, params=pm)
+    rep_m = model.apply(vars_m, imgs, cams["lidar2img"], train=False,
+                        method="get_representation")
+    for a, b in zip(rep_s, rep_m):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def _camera_batch(num_cams):
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 40.0, 40.0, 24.0, 16.0
+    intr = np.stack([K] * num_cams)[None]
+    c2e = np.stack([np.eye(4, dtype=np.float32)] * num_cams)[None]
+    for n in range(num_cams):
+        c2e[0, n, :3, 3] = [0.1 * n, -0.2 * n, 1.5]
+    return jnp.asarray(intr), jnp.asarray(c2e)
+
+
+def test_camera_aware_se_runs_and_gate_is_input_independent_at_init():
+    """CameraAwareSE (camera_se_net.py:52-131): at init the context MLP's
+    second layer is zero-weight/bias-10 (``init_weight``), so the sigmoid
+    gate ~1 is the same for ANY camera parameters -> outputs identical."""
+    cfg = tiny_config(enc_kw=dict(camera_aware=True))
+    intr, c2e = _camera_batch(cfg.num_cams)
+    variables, rep = _forward_rep(
+        cfg, batch_extra=dict(intrinsic=intr, cam2ego=c2e))
+    assert "camera_se_net" in variables["params"]["encoder"]
+    for p in rep:
+        assert bool(jnp.isfinite(p).all())
+
+    model = TPVSegmentor(cfg.model)
+    cams = make_cameras(cfg.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(1, cfg.num_cams, 32, 48, 3),
+        jnp.float32)
+    rep2 = model.apply(variables, imgs, cams["lidar2img"], train=False,
+                       method="get_representation",
+                       intrinsic=intr * 3.0, cam2ego=c2e)
+    for a, b in zip(rep, rep2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_camera_aware_missing_params_raises():
+    cfg = tiny_config(enc_kw=dict(camera_aware=True))
+    with pytest.raises(ValueError, match="camera_aware"):
+        _forward_rep(cfg)
+
+
+def test_identity_neck_with_unet2d():
+    """IdentityNeck passthrough (identity_neck.py:6-13) paired with a UNet2D
+    backbone emitting embed_dims channels at every level."""
+    cfg = tiny_config(
+        backbone="unet2d",
+        model_kw=dict(neck_type="identity", fpn_in_channels=(32, 32, 32, 32)))
+    variables, rep = _forward_rep(cfg)
+    assert "img_neck" not in variables["params"]  # no params in a passthrough
+    for p in rep:
+        assert bool(jnp.isfinite(p).all())

@@ -15,7 +15,8 @@ TINY_PC_RANGE = (-10.0, -10.0, -1.0, 10.0, 10.0, 3.0)
 
 
 def tiny_config(num_cams=2, sem=False, img_size=(64, 96), num_rays=(4, 6),
-                num_samples=16, backbone='resnet50', **head_kw):
+                num_samples=16, backbone='resnet50', enc_kw=None,
+                model_kw=None, **head_kw):
     num_classes = 5
     head = HeadConfig(
         roi_aabb=TINY_PC_RANGE, mapping_args=TINY_MAPPING, resolution=1.0,
@@ -28,10 +29,12 @@ def tiny_config(num_cams=2, sem=False, img_size=(64, 96), num_rays=(4, 6),
         mapping_args=TINY_MAPPING, embed_dims=32, num_heads=4,
         num_cams=num_cams, num_feature_levels=4, num_points_cross=(4, 4, 4),
         num_points_self=4, num_layers=1, feedforward_channels=64,
-        pos_num_freqs=(4, 4, 4), pc_range=TINY_PC_RANGE)
-    model = ModelConfig(encoder=enc, head=head, lifter_type='TPVQueryLifter',
-                        embed_dims=32, backbone_type=backbone,
-                        fpn_in_channels=(32, 64, 128, 256))
+        pos_num_freqs=(4, 4, 4), pc_range=TINY_PC_RANGE, **(enc_kw or {}))
+    model_args = dict(lifter_type='TPVQueryLifter', embed_dims=32,
+                      backbone_type=backbone,
+                      fpn_in_channels=(32, 64, 128, 256))
+    model_args.update(model_kw or {})
+    model = ModelConfig(encoder=enc, head=head, **model_args)
     loss_cfgs = [
         dict(type='ReprojLossMonoMultiNewCombine', weight=1.0, no_ssim=False,
              img_size=list(img_size), ray_resize=list(num_rays),
