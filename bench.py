@@ -42,8 +42,11 @@ def bench_frame(args):
                           img_size=cfg.img_size)
     batch = {k: jnp.asarray(v) for k, v in ds[0].items()}
     variables = init_variables(model, cfg, batch)
+    # depth-only outputs: matches eval_depth's workload (XLA DCEs the SH/sem
+    # /second-grad chains the depth metric never reads)
     renderer = ChunkedRenderer(model, variables, chunk=args.chunk,
-                               shard=False, volume_dtype=args.dtype)
+                               shard=False, volume_dtype=args.dtype,
+                               outputs=("depth",))
 
     def fetch(x):
         jax.block_until_ready(x)
@@ -56,6 +59,9 @@ def bench_frame(args):
     origin, direction = rays_for_cams(batch["img2lidar"], rays)
     renderer.render(vol, origin[:args.chunk], direction[:args.chunk])
 
+    # drop the warmup volume first: holding two decoded volumes puts the
+    # flagship prepare's peak HBM over a 16 GB v5e (observed OOM)
+    vol = None
     t0 = time.time()
     vol = renderer.prepare(batch["imgs"], batch["lidar2img"])
     fetch(vol)

@@ -61,7 +61,8 @@ def main():
                                        torch_ckpt=args.torch_ckpt)
 
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
-                               shard=not args.no_shard)
+                               shard=not args.no_shard,
+                               outputs=("depth",))
     rays = eval_ray_grid(cfg)
     rh, rw = cfg.eval_num_rays
     cam_names = [f"cam{i}" for i in range(cfg.num_cams)]

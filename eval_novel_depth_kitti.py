@@ -61,7 +61,8 @@ def main():
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
-    renderer = ChunkedRenderer(model, variables, chunk=args.batch)
+    renderer = ChunkedRenderer(model, variables, chunk=args.batch,
+                               outputs=("depth",))
     rays = eval_ray_grid(cfg)
     rh, rw = cfg.eval_num_rays
 

@@ -119,7 +119,7 @@ def _bilinear_gather_cf_bundled(vb, xy, h, w, C):
 
 
 def _msda_dense(value_levels, sampling_locations, attention_weights,
-                spatial_shapes, bundle_corners: bool = True):
+                spatial_shapes, bundle_corners: bool = False):
     """Unchunked core. value_levels: list of (B, H, h, w, D).
 
     Each level's gather+reduce is a ``jax.checkpoint`` region: the backward
@@ -129,8 +129,11 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
 
     ``bundle_corners`` packs the 2x2 corner block into channels so each
     sampling point costs ONE gather row (4D payload) instead of 4 (D payload)
-    — numerically identical to fp reassociation, ~4x on the row-rate-bound
-    flagship encoder."""
+    — numerically identical to fp reassociation. OPT-IN (default False): at
+    flagship scale the bundled program reliably faults the TPU runtime
+    ("UNAVAILABLE: TPU device error" at first execution, reproduced twice on
+    v5e via bench --frame nuscenes_occ; the unbundled program runs clean).
+    Golden-tested numerically either way (tests/test_msda.py)."""
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
 
@@ -225,7 +228,7 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    query_chunk: int = 0, shared_locations: bool = False,
-                   bundle_corners: bool = True):
+                   bundle_corners: bool = False):
     """Multi-scale deformable attention.
 
     Args:

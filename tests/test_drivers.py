@@ -213,3 +213,17 @@ def test_train_step_nerfacc(workdir, monkeypatch):
     _run(train, ["--py-config", "tiny_nerfacc", "--work-dir", workdir,
                  "--synthetic", "--max-steps", "1", "--print-freq", "1"],
          monkeypatch)
+
+
+def test_vis_3d_scene_scene_walk(workdir, monkeypatch, tmp_path):
+    """Scene-walk vis dataset (reference *_vis variants): nuScenes_Scene_Vis
+    + VisDatasetWrapper through the real vis_3d_scene CLI."""
+    from test_nuscenes_dataset import _make_mini_nuscenes
+    import vis_3d_scene
+    import os
+    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    _run(vis_3d_scene, ["--py-config", "tiny", "--work-dir", workdir,
+                        "--imageset", pkl, "--data-path", data_path,
+                        "--num-samples", "2", "--resolution", "1.0"],
+         monkeypatch)
+    assert os.path.exists(os.path.join(workdir, "scene.ply"))

@@ -73,3 +73,15 @@ def test_msda_shared_locations_matches_dense():
         shared_locations=True))
     # the fast path gathers in bf16 (AMP-style) -> ~3 decimal digits
     np.testing.assert_allclose(fast, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_msda_bundled_corners_matches_torch():
+    """Opt-in corner-bundled gather path (one fat row per point) is exactly
+    the 4-corner computation reassociated — golden vs the torch fallback."""
+    value, loc, att, shapes = _random_case(3)
+    ours = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att),
+        bundle_corners=True))
+    ref = torch_msda(torch.from_numpy(value), shapes,
+                     torch.from_numpy(loc), torch.from_numpy(att)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -172,9 +172,11 @@ def test_flow_head_bev():
     cams = simple_cameras()
     params = head.init(rng, rep, cams, rng, 0, True,
                        prev_rep=prev_rep, next_rep=next_rep)
-    out = jax.jit(lambda p: head.apply(
+    # FlowNet uses BatchNorm (matching the reference's BatchNorm2d), so the
+    # train-mode apply must allow batch_stats mutation
+    out, _ = jax.jit(lambda p: head.apply(
         p, rep, cams, rng, 0, True, prev_rep=prev_rep,
-        next_rep=next_rep))(params)
+        next_rep=next_rep, mutable=["batch_stats"]))(params)
     R = 4 * 6
     assert out['prev_warp'].shape == (1, 2, R, 32, 3)
     assert out['curr2prev_flow'].shape == (1, 17, 17, 9, 3)

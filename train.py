@@ -68,7 +68,8 @@ def run_epoch_eval(model, state, cfg, ds, logger, n_samples, epoch):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if state.consts is not None:
         variables["consts"] = state.consts
-    renderer = ChunkedRenderer(model, variables, chunk=8192, shard=False)
+    renderer = ChunkedRenderer(model, variables, chunk=8192, shard=False,
+                               outputs=("depth",))
     rh, rw = cfg.num_rays
     rays = RaySampler(ray_sample_mode="fixed", ray_number=(rh, rw),
                       ray_img_size=tuple(cfg.img_size))()

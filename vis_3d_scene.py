@@ -26,6 +26,14 @@ def main():
     ap.add_argument("--frame-spacing", type=float, default=2.0,
                     help="synthetic ego displacement per frame")
     ap.add_argument("--seed", type=int, default=42)
+    # scene-walk vis dataset (reference *_vis variants): when --imageset
+    # exists, walk ONE scene's keyframes via nuScenes_Scene_Vis instead of
+    # the training dataset
+    ap.add_argument("--imageset", default="",
+                    help="nuScenes infos pkl for the scene-walk vis dataset")
+    ap.add_argument("--data-path", default="data/nuscenes/")
+    ap.add_argument("--scene-token", default=None,
+                    help="scene to walk (default: first in the pkl)")
     args = ap.parse_args()
 
     import jax
@@ -38,9 +46,22 @@ def main():
     logger = get_logger(args.work_dir)
     os.makedirs(args.work_dir, exist_ok=True)
 
-    from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    if args.imageset and os.path.exists(args.imageset):
+        from selfocc_tpu.data.vis_dataset import (VisDatasetWrapper,
+                                                  nuScenes_Scene_Vis)
+        raw = nuScenes_Scene_Vis(
+            data_path=args.data_path, imageset=args.imageset,
+            scene_token=args.scene_token, crop_size=tuple(cfg.img_size),
+            ego_centric=bool(cfg.train_dataset_args.get("ego_centric")),
+            num_cams=cfg.num_cams)
+        ds = VisDatasetWrapper(raw, cfg)
+        logger.info(f"scene-walk vis: scene {raw.scene_token}, "
+                    f"{len(ds)} keyframes")
+    else:
+        from train import get_dataloader
+        ds = get_dataloader(cfg, args.synthetic)
+    from train import as_arrays
+    sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed)
     aabb = list(cfg.model.head.roi_aabb)
@@ -50,7 +71,7 @@ def main():
 
     all_pts, all_colors = [], []
     for i in range(min(args.num_samples, len(ds))):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = as_arrays(ds[i])
         out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
         occ = np.asarray(out["sdf"]) <= args.thresh
         pts = np.asarray(out["xyz"])[occ]
