@@ -32,6 +32,13 @@ class EncoderConfig:
     # rows; deviates from the reference's per-head deformable attention)
     shared_locations: bool = False
     remat_layers: bool = True   # recompute layers in backward (v5e OOM fix)
+    # image cross-attn visibility compaction: per camera only
+    # ceil(frac * Q) visible-first queries run deformable attention (the
+    # reference's dynamic-rebatch semantics with a static capacity,
+    # image_cross_attention.py:84-136). Exact when every camera's visible
+    # count fits the capacity; 1.0 = dense. Scalar or per-plane
+    # (hw, zh, wz) tuple.
+    cross_visible_capacity: Any = 1.0
     # per-plane FFN/norm parameter sets (reference MultiPlaneFFN/Norm,
     # modules/split_fpn.py + split_norm.py; off in shipped configs)
     multi_plane_ffn_norm: bool = False

@@ -280,6 +280,15 @@ class BEVCrossAttention(nn.Module):
     dropout: float = 0.1
     query_chunk: int = 0
     shared_locations: bool = False
+    # visibility compaction (the TPU-shaped analog of the reference's
+    # dynamic rebatch, image_cross_attention.py:84-136): per camera, only a
+    # STATIC capacity of ceil(visible_capacity * Q) queries — visible-first —
+    # run deformable attention; the remaining (camera, query) pairs are
+    # invisible and contribute exactly zero in the dense formulation anyway.
+    # Exact as long as no camera sees more queries than the capacity (the
+    # overflow count is sown to 'intermediates/visible_overflow'); 1.0 =
+    # fully dense.
+    visible_capacity: float = 1.0
 
     @nn.compact
     def __call__(self, query, value, ref_cams, masks, spatial_shapes,
@@ -301,20 +310,51 @@ class BEVCrossAttention(nn.Module):
             shared_locations=self.shared_locations, name="heads")(query)
         normalizer = jnp.asarray(
             [[w, h] for h, w in spatial_shapes], jnp.float32)
-        # reference BEVDeformableAttention broadcasts the P pillar-reference
-        # points against per-(head, level) offsets (image_cross_attention.py:
-        # 323-328 with reference_points of shape (bs, Q, P, 2)).
-        loc = ref_cams[:, :, None, None, :, :] + \
-            offsets[0][None] / normalizer[None, None, None, :, None, :]
-        attn_c = jnp.broadcast_to(attn[0][None], (cams,) + attn.shape[1:])
-        out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
-                             query_chunk=self.query_chunk,
-                             shared_locations=self.shared_locations)
+        hit = masks.sum(-1) > 0                              # (cams, Q) bool
 
-        hit = (masks.sum(-1) > 0).astype(out.dtype)          # (cams, Q)
-        slots = (out * hit[..., None]).sum(0)                # (Q, C)
-        count = jnp.maximum(hit.sum(0), 1.0)
-        slots = (slots / count[..., None])[None]             # (1, Q, C)
+        M = Q
+        if self.visible_capacity < 1.0:
+            M = min(Q, -(-int(Q * self.visible_capacity) // 128) * 128)
+        if M < Q:
+            # visible-first stable permutation per camera; gather the
+            # query-side tensors down to the (cams, M) working set. The
+            # attention gathers dominate the encoder (~300M rows/layer on
+            # the flagship) and scale with M; the dense DeformHeads matmuls
+            # (a few GFLOPs, MXU) stay full-Q.
+            order = jnp.argsort(jnp.logical_not(hit), axis=1, stable=True)
+            sel = order[:, :M]                               # (cams, M)
+            hit_sel = jnp.take_along_axis(hit, sel, axis=1)  # (cams, M)
+            ref_sel = jnp.take_along_axis(
+                ref_cams, sel[:, :, None, None], axis=1)     # cams,M,P,2
+            off_sel = offsets[0][sel]                        # cams,M,H,L,P,2
+            attn_sel = attn[0][sel]                          # cams,M,H,L,P
+            loc = ref_sel[:, :, None, None] + \
+                off_sel / normalizer[None, None, None, :, None, :]
+            out_m = ms_deform_attn(v, spatial_shapes, loc, attn_sel,
+                                   query_chunk=self.query_chunk,
+                                   shared_locations=self.shared_locations)
+            w_sel = hit_sel.astype(out_m.dtype)
+            contrib = (out_m * w_sel[..., None]).reshape(cams * M, C)
+            slots = jnp.zeros((Q, C), out_m.dtype).at[
+                sel.reshape(-1)].add(contrib)
+            count = jnp.zeros((Q,), out_m.dtype).at[
+                sel.reshape(-1)].add(w_sel.reshape(-1))
+            slots = (slots / jnp.maximum(count, 1.0)[..., None])[None]
+        else:
+            # reference BEVDeformableAttention broadcasts the P pillar-
+            # reference points against per-(head, level) offsets
+            # (image_cross_attention.py:323-328 with reference_points of
+            # shape (bs, Q, P, 2)).
+            loc = ref_cams[:, :, None, None, :, :] + \
+                offsets[0][None] / normalizer[None, None, None, :, None, :]
+            attn_c = jnp.broadcast_to(attn[0][None], (cams,) + attn.shape[1:])
+            out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
+                                 query_chunk=self.query_chunk,
+                                 shared_locations=self.shared_locations)
+            hitf = hit.astype(out.dtype)                     # (cams, Q)
+            slots = (out * hitf[..., None]).sum(0)           # (Q, C)
+            count = jnp.maximum(hitf.sum(0), 1.0)
+            slots = (slots / count[..., None])[None]         # (1, Q, C)
 
         slots = nn.Dense(C, kernel_init=_xavier_uniform(),
                          name="output_proj")(slots)
@@ -364,6 +404,8 @@ class TPVFormerLayer(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     shared_locations: bool = False
+    # scalar, or one capacity per plane (hw, zh, wz)
+    visible_capacity: Any = 1.0
     # per-plane norm/FFN parameter sets (reference MultiPlaneNorm /
     # MultiPlaneFFN, modules/split_norm.py + split_fpn.py; off in shipped
     # configs)
@@ -413,11 +455,15 @@ class TPVFormerLayer(nn.Module):
             chunk = self.cross_query_chunk
             if chunk:
                 chunk = max(256, chunk * min(self.num_points_cross) // n_pts)
+            vc = self.visible_capacity
+            if isinstance(vc, (tuple, list)):
+                vc = vc[i]
             out = BEVCrossAttention(
                 self.embed_dims, self.num_heads, self.num_levels,
                 n_pts, dropout=self.dropout,
                 query_chunk=chunk,
                 shared_locations=self.shared_locations,
+                visible_capacity=vc,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -495,6 +541,7 @@ class BEVFormerLayer(nn.Module):
     dropout: float = 0.1
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    visible_capacity: float = 1.0
     deterministic: bool = True
 
     @nn.compact
@@ -510,7 +557,8 @@ class BEVFormerLayer(nn.Module):
         q = BEVCrossAttention(
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points_cross, dropout=self.dropout,
-            query_chunk=self.cross_query_chunk, name="cross_attn")(
+            query_chunk=self.cross_query_chunk,
+            visible_capacity=self.visible_capacity, name="cross_attn")(
                 q, value, ref_cams, masks, tuple(self.img_spatial_shapes),
                 deterministic=self.deterministic)
         q = nn.LayerNorm(name="norm2")(q)
@@ -540,6 +588,7 @@ class BEVFormerEncoder(nn.Module):
     pc_range: Sequence[float] = (-40., -40., -1., 40., 40., 5.4)
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
+    visible_capacity: float = 1.0
 
     @nn.compact
     def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
@@ -626,6 +675,7 @@ class BEVFormerEncoder(nn.Module):
             img_spatial_shapes=img_spatial_shapes, bev_size=(H, W),
             dropout=self.dropout, self_query_chunk=self.self_query_chunk,
             cross_query_chunk=self.cross_query_chunk,
+            visible_capacity=self.visible_capacity,
             deterministic=deterministic, name="layers")
         rep = representation if not isinstance(representation, (list, tuple)) \
             else representation[0]
@@ -684,6 +734,8 @@ class TPVFormerEncoder(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     shared_locations: bool = False   # TPU fast attention (see DeformHeads)
+    # cross-attn visibility compaction: scalar or per-plane (hw, zh, wz)
+    visible_capacity: Any = 1.0
     multi_plane_ffn_norm: bool = False
     camera_aware: bool = False       # CameraAwareSE image-feature gating
     camera_aware_mid_channels: Optional[int] = None
@@ -767,6 +819,22 @@ class TPVFormerEncoder(nn.Module):
             lambda: get_cross_view_ref_points(
                 H, W, D, (self.num_points_self,) * 3)).value
 
+        # visibility-compaction exactness guard: per plane, the number of
+        # visible queries a camera would lose to the static capacity
+        # (layer-invariant — computed once here, not inside the scan where
+        # sown intermediates cannot escape)
+        vc = self.visible_capacity
+        if not isinstance(vc, (tuple, list)):
+            vc = (vc, vc, vc)
+        for i, m_ in enumerate(masks_list):
+            if vc[i] < 1.0:
+                Qp = m_.shape[1]
+                cap = min(Qp, -(-int(Qp * vc[i]) // 128) * 128)
+                if cap < Qp:
+                    hits = (m_.sum(-1) > 0).sum(axis=1)
+                    self.sow("intermediates", f"visible_overflow_{i}",
+                             jnp.maximum(hits.max() - cap, 0))
+
         # remat each layer: the flagship BACKWARD otherwise keeps every
         # layer's deformable-attention transients live and OOMs a 16 GB v5e
         # (observed on the fused train step); recompute-in-backward bounds
@@ -790,6 +858,7 @@ class TPVFormerEncoder(nn.Module):
             self_query_chunk=self.self_query_chunk,
             cross_query_chunk=self.cross_query_chunk,
             shared_locations=self.shared_locations,
+            visible_capacity=self.visible_capacity,
             multi_plane_ffn_norm=self.multi_plane_ffn_norm,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,

@@ -75,6 +75,7 @@ class TPVSegmentor(nn.Module):
                 pc_range=tuple(e.pc_range),
                 self_query_chunk=e.self_query_chunk,
                 cross_query_chunk=e.cross_query_chunk,
+                visible_capacity=e.cross_visible_capacity,
                 remat_layers=e.remat_layers,
                 name="encoder")
             h = c.head
@@ -92,6 +93,7 @@ class TPVSegmentor(nn.Module):
             self_query_chunk=e.self_query_chunk,
             cross_query_chunk=e.cross_query_chunk,
             shared_locations=e.shared_locations,
+            visible_capacity=e.cross_visible_capacity,
             remat_layers=e.remat_layers,
             multi_plane_ffn_norm=e.multi_plane_ffn_norm,
             camera_aware=e.camera_aware,

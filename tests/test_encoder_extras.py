@@ -132,3 +132,62 @@ def test_identity_neck_with_unet2d():
     assert "img_neck" not in variables["params"]  # no params in a passthrough
     for p in rep:
         assert bool(jnp.isfinite(p).all())
+
+
+def test_visible_capacity_matches_dense():
+    """Cross-attn visibility compaction (static-capacity analog of the
+    reference's dynamic rebatch, image_cross_attention.py:84-136) is exactly
+    the dense masked computation when the capacity covers every camera's
+    visible set."""
+    cfg_d = tiny_config()
+    cfg_c = tiny_config(enc_kw=dict(cross_visible_capacity=0.75))
+    # tiny planes have Q=289/289? (17x17) -> hw Q=289; M=round128(217)=256<289
+    model_d = TPVSegmentor(cfg_d.model)
+    model_c = TPVSegmentor(cfg_c.model)
+    cams = make_cameras(cfg_d.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(0).rand(1, cfg_d.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_d.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+    rep_d = model_d.apply(variables, imgs, cams["lidar2img"], train=False,
+                          method="get_representation")
+    rep_c, inter = model_c.apply(variables, imgs, cams["lidar2img"],
+                                 train=False, method="get_representation",
+                                 mutable=["intermediates"])
+    # the compaction branch actually engaged (overflow counters sown), and
+    # no camera overflowed the capacity -> exactness holds
+    flat = jax.tree_util.tree_leaves(inter)
+    assert len(flat) > 0
+    assert all(int(x) == 0 for x in flat if x.ndim == 0)
+    for a, b in zip(rep_d, rep_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_visible_capacity_composes_with_shared_locations():
+    """Compaction under the shared-locations fast path equals the dense
+    shared-locations computation (both deviate from per-head reference
+    semantics identically)."""
+    cfg_s = tiny_config(enc_kw=dict(shared_locations=True))
+    cfg_sc = tiny_config(enc_kw=dict(shared_locations=True,
+                                     cross_visible_capacity=0.75))
+    model_s = TPVSegmentor(cfg_s.model)
+    model_c = TPVSegmentor(cfg_sc.model)
+    cams = make_cameras(cfg_s.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(1).rand(1, cfg_s.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_s.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+    rep_s = model_s.apply(variables, imgs, cams["lidar2img"], train=False,
+                          method="get_representation")
+    rep_c = model_c.apply(variables, imgs, cams["lidar2img"], train=False,
+                          method="get_representation")
+    for a, b in zip(rep_s, rep_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-2)  # bf16 fast path
