@@ -227,3 +227,18 @@ def test_vis_3d_scene_scene_walk(workdir, monkeypatch, tmp_path):
                         "--num-samples", "2", "--resolution", "1.0"],
          monkeypatch)
     assert os.path.exists(os.path.join(workdir, "scene.ply"))
+
+
+def test_bench_frame_json(workdir, monkeypatch, capsys):
+    """bench.py --frame emits exactly one parseable JSON line (the driver
+    records this output every round)."""
+    import json
+    import bench
+    monkeypatch.setattr(sys, "argv",
+                        ["bench.py", "--frame", "tiny", "--rays", "4", "6",
+                         "--chunk", "16"])
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "eval_frame_seconds"
+    assert rec["value"] > 0 and rec["prepare_s"] > 0 and rec["render_s"] > 0
