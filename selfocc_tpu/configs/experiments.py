@@ -382,15 +382,19 @@ def nuscenes_occ_fast() -> Config:
     locations) and bf16 backbone/neck compute (AMP analog). Everything else
     (losses, schedule, field, renderer) is identical to ``nuscenes_occ``."""
     cfg = nuscenes_occ()
-    # visibility compaction is NOT enabled here: measured no gain on top of
-    # shared_locations (8.3 vs 7.8 s/frame prepare — the shared path's
-    # per-point whole-Q gathers aren't row-bound enough to pay for the
-    # compaction bookkeeping), so fast keeps the simpler exactness story.
+    # Visibility compaction here is a MEMORY requirement, not a speed win
+    # (eval prepare measured neutral, 8.3 vs 7.8 s): it shrinks the encoder
+    # backward's (6, 96, 66049) transients 3.3x on the hw plane, which is
+    # what brings the TRAIN step from 18.3 GB (OOM on a 16 GB v5e) down to
+    # fitting — measured 29.8 s/step steady on one v5e chip. 2048-ray remat
+    # chunks bound the render-backward transients for the same reason.
     model = dataclasses.replace(
         cfg.model,
         compute_dtype="bfloat16",
-        encoder=dataclasses.replace(cfg.model.encoder,
-                                    shared_locations=True))
+        head=dataclasses.replace(cfg.model.head, train_ray_chunk=2048),
+        encoder=dataclasses.replace(
+            cfg.model.encoder, shared_locations=True,
+            cross_visible_capacity=(0.3, 0.75, 0.7)))
     return dataclasses.replace(cfg, name="nuscenes_occ_fast", model=model)
 
 

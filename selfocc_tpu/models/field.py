@@ -65,6 +65,11 @@ class TPVSDFField(nn.Module):
     sh_act: str = "relu"
     tpv: bool = True
     beta_init: float = 0.1
+    # recompute the decode in the backward pass. MEASURED HARMFUL on the
+    # flagship train step (17.99 -> 18.73 GB peak: the rematted recompute's
+    # own temps outweigh the saved residuals), so off by default; kept as a
+    # knob for other shapes.
+    remat_decode: bool = False
 
     def setup(self):
         self.mapping = make_mapping(**self.mapping_args)
@@ -106,6 +111,12 @@ class TPVSDFField(nn.Module):
         return x
 
     def decode(self, rep):
+        if self.remat_decode:
+            return nn.remat(TPVSDFField._decode_impl,
+                            prevent_cse=False)(self, rep)
+        return self._decode_impl(rep)
+
+    def _decode_impl(self, rep):
         """Plane features -> dense (B, C_out, H, W, D) volume, fp32,
         **channel-first** so every render-time gather keeps the big spatial
         axis on the TPU lane dimension (see ops/interp.trilinear_sample_cf).

@@ -8,6 +8,7 @@ scheduler, ``:237-251`` grad-accumulation/clipping, DDP allreduce) with optax +
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -64,19 +65,33 @@ def make_optimizer(cfg: Config, grad_accumulation: int = 1):
     """AdamW, backbone lr x ``backbone_lr_mult`` (reference
     ``nuscenes_occ.py:23-34``), global-norm clip ``grad_max_norm``
     (``_base_/optimizer.py``), optional gradient accumulation
-    (``train.py:237-251``)."""
+    (``train.py:237-251``). ``freeze_img_backbone/neck`` zero those subtrees'
+    updates (the reference's ``requires_grad_(False)``,
+    ``tpv_segmentor.py:29-32``; BN running stats still update)."""
     sched = make_lr_schedule(cfg)
 
     def scaled(mult):
         return optax.adamw(lambda s: sched(s) * mult,
                            weight_decay=cfg.weight_decay)
 
+    frozen = []
+    if cfg.model.freeze_img_backbone:
+        frozen.append("img_backbone")
+    if cfg.model.freeze_img_neck:
+        frozen.append("img_neck")
+
+    def label(path, leaf):
+        keys = [str(getattr(k, "key", getattr(k, "name", ""))) for k in path]
+        if any(f in k for k in keys for f in frozen):
+            return "frozen"
+        return _backbone_label(path, leaf)
+
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_max_norm),
         optax.multi_transform(
-            {"backbone": scaled(cfg.backbone_lr_mult), "rest": scaled(1.0)},
-            lambda params: jax.tree_util.tree_map_with_path(
-                _backbone_label, params)),
+            {"backbone": scaled(cfg.backbone_lr_mult), "rest": scaled(1.0),
+             "frozen": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map_with_path(label, params)),
     )
     if grad_accumulation > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accumulation)
@@ -131,7 +146,10 @@ def make_train_step(model, cfg: Config):
     """Single-chip jitted train step."""
     compute = make_loss_fn(model, cfg)
 
-    @jax.jit
+    # donate the incoming state: without it the old AND new params/opt-state
+    # are simultaneously live (~1 GB on the flagship), part of the 18 GB
+    # train-step peak that OOMed a 16 GB v5e
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         (tot, (ldict, new_bs)), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params, state.batch_stats,
@@ -172,7 +190,7 @@ def make_dp_train_step(model, cfg: Config, mesh):
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
         check_vma=False)
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def jit_init_on_cpu(init_fn):

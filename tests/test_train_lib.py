@@ -32,8 +32,16 @@ def tiny_setup():
     return cfg, model, batch, state
 
 
+
+
+def _copy_state(state):
+    """Deep-copy array leaves: the train steps donate their input state, so a
+    shared fixture state must never be passed in directly."""
+    return jax.tree_util.tree_map(lambda x: x.copy(), state)
+
 def test_single_train_step_decreases_nothing_blows_up(tiny_setup):
     cfg, model, batch, state = tiny_setup
+    state = _copy_state(state)
     step = make_train_step(model, cfg)
     rng = jax.random.PRNGKey(1)
     m0 = None
@@ -89,11 +97,11 @@ def test_dp_train_step_8_devices(tiny_setup):
     stacked = jax.tree_util.tree_map(
         lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), batch)
     rngs = jax.random.split(jax.random.PRNGKey(2), n)
-    new_state, metrics = dp_step(state, stacked, rngs)
+    new_state, metrics = dp_step(_copy_state(state), stacked, rngs)
     assert np.isfinite(float(metrics['total']))
     # identical samples on every device -> DP step == single step (pmean no-op)
     single = make_train_step(model, cfg)
-    s1, m1 = single(state, batch, rngs[0])
+    s1, m1 = single(_copy_state(state), batch, rngs[0])
     leaves_dp = jax.tree_util.tree_leaves(new_state.params)
     leaves_s = jax.tree_util.tree_leaves(s1.params)
     # parameters moved (not a no-op step)
@@ -144,3 +152,33 @@ def test_gradient_accumulation_defers_updates(tiny_setup):
     p2 = jax.tree_util.tree_leaves(state.params)[0]
     assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0
     assert np.isfinite(float(m2["total"]))
+
+
+def test_freeze_backbone_neck():
+    """freeze_img_backbone/neck zero those subtrees' updates (reference
+    requires_grad_(False), tpv_segmentor.py:29-32) while the rest trains."""
+    import dataclasses
+    cfg = tiny_config(backbone='tiny')
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, freeze_img_backbone=True,
+                                       freeze_img_neck=True))
+    model = TPVSegmentor(cfg=cfg.model)
+    batch = _synthetic_batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(model, cfg, rng, batch)
+    before = jax.tree_util.tree_map(lambda x: x.copy(), state.params)
+    step = make_train_step(model, cfg)
+    state, _ = step(state, batch, jax.random.PRNGKey(1))
+
+    def diff(tree_a, tree_b):
+        return sum(float(jnp.abs(a - b).sum()) for a, b in zip(
+            jax.tree_util.tree_leaves(tree_a),
+            jax.tree_util.tree_leaves(tree_b)))
+
+    assert diff(before['img_backbone'], state.params['img_backbone']) == 0.0
+    assert diff(before['img_neck'], state.params['img_neck']) == 0.0
+    rest_b = {k: v for k, v in before.items()
+              if k not in ('img_backbone', 'img_neck')}
+    rest_a = {k: v for k, v in state.params.items()
+              if k not in ('img_backbone', 'img_neck')}
+    assert diff(rest_b, rest_a) > 0.0
