@@ -76,7 +76,7 @@ def bench_frame(args):
     frame_s = prep_s + render_s
     baseline_s = 90 * 60.0  # one surround frame, RTX3090 (README.md:95)
     val_frames = 6019       # nuScenes val keyframes
-    print(json.dumps({
+    return {
         "metric": "eval_frame_seconds",
         "value": round(frame_s, 2),
         "unit": "s/frame",
@@ -87,7 +87,7 @@ def bench_frame(args):
         "render_rays_per_sec": round(total_rays / render_s, 1),
         "est_val_6019_frames_v5e8_min": round(
             val_frames * frame_s / 8 / 60, 1),
-    }))
+    }
 
 
 def main():
@@ -109,7 +109,8 @@ def main():
                          "render-only headline")
     args = ap.parse_args()
     if args.frame:
-        return bench_frame(args)
+        print(json.dumps(bench_frame(args)))
+        return
 
     import jax
     from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
@@ -191,12 +192,34 @@ def main():
 
     rays_per_sec = total_rays / dt
     baseline = 2_160_000 / (90 * 60)  # ~400 rays/s (RTX3090, README.md:95)
-    print(json.dumps({
+    record = {
         "metric": "render_rays_per_sec",
         "value": round(float(rays_per_sec), 1),
         "unit": "rays/s",
         "vs_baseline": round(float(rays_per_sec / baseline), 2),
-    }))
+    }
+    # also measure the full per-frame eval latency through the real model
+    # (prepare: backbone->encoder->decode, + depth render) — cheap here: the
+    # repo-local .jax_cache makes the flagship compiles near-instant after
+    # this session's runs. Guarded so a frame failure never loses the
+    # headline.
+    try:
+        # free the headline's device buffers first (holding an extra decoded
+        # volume over the flagship prepare peak OOMs a 16 GB v5e)
+        del variables, volume, origin, direction, out, render
+        import argparse as _ap
+        fargs = _ap.Namespace(**{**vars(args), "frame": "nuscenes_occ_fast"})
+        frame = bench_frame(fargs)
+        record.update({
+            "frame_config": frame["config"],
+            "frame_s": frame["value"],
+            "frame_prepare_s": frame["prepare_s"],
+            "frame_render_s": frame["render_s"],
+            "frame_vs_90min_gpu": frame["vs_baseline"],
+        })
+    except Exception as e:   # pragma: no cover - depends on device state
+        record["frame_error"] = f"{type(e).__name__}: {e}"[:160]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
