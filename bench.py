@@ -8,13 +8,14 @@ field volume and reports rays/sec plus the ratio vs that baseline.
 
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N/400}
+   "vs_baseline": N/400, "frame_s": ..., "frame_prepare_s": ...}
 
-``--frame [CONFIG]`` instead measures the FULL per-frame eval latency
-(prepare: backbone -> encoder -> field decode, plus the 2.16M-ray render)
-through the real model on flagship shapes, reporting
-``eval_frame_seconds`` with a prepare/render breakdown — the reference
-anchor is the same 90-min GPU figure for one surround frame.
+The default run also measures the FULL per-frame eval latency (prepare:
+backbone -> encoder -> field decode, plus the 2.16M-ray depth render)
+through the real ``nuscenes_occ_fast`` model, merged into the same line as
+``frame_*`` keys (failure-guarded). ``--frame [CONFIG]`` measures only that,
+on any config, reporting ``eval_frame_seconds`` with the breakdown — the
+reference anchor is the same 90-min GPU figure for one surround frame.
 """
 import argparse
 import json

@@ -242,3 +242,24 @@ def test_bench_frame_json(workdir, monkeypatch, capsys):
     rec = json.loads(line)
     assert rec["metric"] == "eval_frame_seconds"
     assert rec["value"] > 0 and rec["prepare_s"] > 0 and rec["render_s"] > 0
+
+
+def test_train_prefetch_matches_synchronous(workdir, monkeypatch, tmp_path):
+    """The prefetch worker (reference DataLoader num_workers analog) changes
+    only WHEN batches are built, never their content: same seed => identical
+    logged losses with --prefetch 0 and 2."""
+    import json
+    import train
+
+    def losses(wd, prefetch):
+        _run(train, ["--py-config", "tiny", "--work-dir", wd,
+                     "--synthetic", "--max-steps", "2", "--print-freq", "1",
+                     "--prefetch", str(prefetch)], monkeypatch)
+        with open(f"{wd}/scalars.jsonl") as f:
+            return [json.loads(l) for l in f if '"loss/total"' in l]
+
+    a = losses(str(tmp_path / "sync"), 0)
+    b = losses(str(tmp_path / "pre"), 2)
+    assert len(a) == len(b) == 2
+    for ra, rb in zip(a, b):
+        assert abs(ra["value"] - rb["value"]) < 1e-6, (ra, rb)

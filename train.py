@@ -51,6 +51,9 @@ def parse_args():
                     help="per-epoch depth eval on val samples (reference "
                          "train.py:306-373)")
     ap.add_argument("--eval-samples", type=int, default=4)
+    ap.add_argument("--prefetch", type=int, default=2,
+                    help="background batch-prefetch depth (the reference "
+                         "DataLoader num_workers analog; 0 = synchronous)")
     return ap.parse_args()
 
 
@@ -202,21 +205,42 @@ def main():
             sampler.set_last_iter(last_iter % max(len(ds), 1))
             last_iter = None
         order = list(iter(sampler))
-        i = 0
-        while i < len(order):
-            t0 = time.time()
+        # index groups for the epoch (n_dev samples per DP step, 1 otherwise)
+        groups, j = [], 0
+        while j < len(order):
             if use_dp:
-                idxs = [order[(i + k) % len(order)] for k in range(n_dev)]
-                batches = [ds[int(j)] for j in idxs]
-                batch = {k: jnp.stack([jnp.asarray(b[k]) for b in batches])
-                         for k in batch_keys(batches[0])}
+                groups.append([int(order[(j + k) % len(order)])
+                               for k in range(n_dev)])
+                j += n_dev
+            else:
+                groups.append([int(order[j])])
+                j += 1
+
+        def build(group):
+            """Host-side batch assembly (numpy) — runs in the prefetch
+            worker thread, overlapping the device step."""
+            if use_dp:
+                batches = [ds[g] for g in group]
+                return {k: np.stack([np.asarray(b[k]) for b in batches])
+                        for k in batch_keys(batches[0])}
+            return {k: np.asarray(v) for k, v in ds[group[0]].items()
+                    if not isinstance(v, (str, dict))}
+
+        if args.prefetch > 0:
+            from selfocc_tpu.data.prefetch import BatchPrefetcher
+            batch_iter = BatchPrefetcher(build, groups, depth=args.prefetch)
+        else:
+            batch_iter = map(build, groups)
+        i = 0
+        for g_idx, host_batch in enumerate(batch_iter):
+            t0 = time.time()
+            batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
+            if use_dp:
                 rngs = jax.random.split(
                     jax.random.fold_in(rng, global_iter), n_dev)
-                i += n_dev
             else:
-                batch = as_arrays(ds[int(order[i])])
                 rngs = jax.random.fold_in(rng, global_iter)
-                i += 1
+            i += len(groups[g_idx])
             t_data += time.time() - t0
 
             if args.profile and global_iter == 5:
@@ -248,6 +272,8 @@ def main():
                                 last_iter=i if args.iter_resume else None)
             if args.max_steps and steps_done >= args.max_steps:
                 break
+        if hasattr(batch_iter, "close"):
+            batch_iter.close()   # stop the prefetch worker on early exit
         if jax.process_index() == 0:   # rank-0 ckpt (reference train.py:290)
             save_checkpoint(ckpt_dir, state, epoch + 1, global_iter)
         logger.info(f"epoch {epoch} done; checkpoint saved at {ckpt_dir}")
