@@ -55,7 +55,8 @@ def main():
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    from train import as_arrays
+    sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
@@ -73,7 +74,7 @@ def main():
     t0 = time.time()
     total_rays = 0
     for i in range(n):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = as_arrays(ds[i])
         volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
         origin, direction = rays_for_cams(batch["img2lidar"], rays)
         out = renderer.render(volume, origin, direction)

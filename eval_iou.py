@@ -66,6 +66,10 @@ def parse_args():
     ap.add_argument("--sem", action="store_true")
     ap.add_argument("--use-mask", action="store_true")
     ap.add_argument("--scene-size", type=int, default=0)
+    ap.add_argument("--openocc-grid", type=int, nargs=3,
+                    default=[512, 512, 40],
+                    help="OpenOccupancy label-frame shape (reference fixes "
+                         "512x512x40, eval_iou.py:262)")
     ap.add_argument("--density", action="store_true",
                     help="field is a density (occupied = value >= thresh)")
     ap.add_argument("--save-sem", default="")
@@ -247,9 +251,20 @@ def main():
             occ = (sdf >= args.thresh) if args.density \
                 else (sdf <= args.thresh)
             pred_occ_iou = apply_openocc_crops(occ.astype(np.int32))
+            # the OpenOccupancy label frame is FIXED (512x512x40 in the
+            # reference, eval_iou.py:262: gt grid always
+            # torch.zeros(512,512,40)); the prediction grid must match or
+            # the comparison silently drops labels — the reference would
+            # shape-error, we say why
+            oshape = tuple(args.openocc_grid)
+            if pred_occ_iou.shape != oshape:
+                raise SystemExit(
+                    f"OpenOccupancy eval needs a {oshape} prediction grid "
+                    f"(got {pred_occ_iou.shape}); use --resolution 0.2 with "
+                    f"the matching --scene-size AABB (or --openocc-grid)")
             gt_occ_iou = openocc_gt_grid(
                 read_openoccupancy_label(item["openocc_label_path"]),
-                shape=pred_occ_iou.shape)
+                shape=oshape)
             iou_metric._after_step(pred_occ_iou, gt_occ_iou, None)
             pred_occ_miou = None
             if miou_metric is not None:

@@ -52,7 +52,8 @@ def main():
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    from train import as_arrays
+    sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
@@ -70,7 +71,7 @@ def main():
     n = args.num_samples or len(ds)
     n = min(n, len(ds))
     for i in range(n):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = as_arrays(ds[i])
         out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
         pred_occ = (np.asarray(out["sdf"]) <= args.thresh).astype(np.int32)
 

@@ -62,6 +62,10 @@ class TPVSegmentor(nn.Module):
         else:
             raise ValueError(c.lifter_type)
         e = c.encoder
+        if c.use_bev_encoder and e.camera_aware:
+            raise ValueError("camera_aware is a TPVFormer module "
+                             "(camera_se_net.py); the BEVFormer encoder "
+                             "variant does not support it")
         if c.use_bev_encoder:
             from .encoder import BEVFormerEncoder
             self.encoder = BEVFormerEncoder(
@@ -168,7 +172,14 @@ class TPVSegmentor(nn.Module):
         x = imgs.reshape(B * N, H, W, C3)
         feats = self.img_backbone(x, train=train)
         feats = [feats[i] for i in self.cfg.img_backbone_out_indices]
+        if self.cfg.freeze_img_backbone:
+            # the reference's requires_grad_(False) skips the backbone
+            # backward entirely (tpv_segmentor.py:29-32); stop_gradient here
+            # gives XLA the same dead-code win (BN stats still update)
+            feats = [jax.lax.stop_gradient(f) for f in feats]
         feats = self.img_neck(feats)
+        if self.cfg.freeze_img_neck and self.cfg.freeze_img_backbone:
+            feats = [jax.lax.stop_gradient(f) for f in feats]
         out = []
         for f in feats:
             # flip may be a traced bool (batch["flip"] under jit); the
@@ -210,14 +221,17 @@ class TPVSegmentor(nn.Module):
                          train=train)
 
     def forward_occ(self, imgs, lidar2img, aabb=None, resolution=None,
-                    flip: bool = False):
+                    flip: bool = False, intrinsic=None, cam2ego=None):
         """Occupancy eval (``occ_only=True`` path, ``tpv_segmentor.py:118``)."""
-        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip)
+        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip,
+                                      intrinsic=intrinsic, cam2ego=cam2ego)
         return self.head.forward_occ(rep, aabb=aabb, resolution=resolution)
 
-    def prepare(self, imgs, lidar2img, flip: bool = False):
+    def prepare(self, imgs, lidar2img, flip: bool = False, intrinsic=None,
+                cam2ego=None):
         """Decode and cache the field volume (``prepare=True`` path)."""
-        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip)
+        rep = self.get_representation(imgs, lidar2img, train=False, flip=flip,
+                                      intrinsic=intrinsic, cam2ego=cam2ego)
         return self.head.prepare(rep)
 
     def render_rays(self, volume, origin, direction):

@@ -118,12 +118,22 @@ class ChunkedRenderer:
         else:
             self._render = jax.jit(_render_fn)
 
-    def prepare(self, imgs, lidar2img, flip=False):
+    def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
+                cam2ego=None):
         if not hasattr(self, "_prepare"):
             import jax.numpy as _jnp
             dt = _jnp.dtype(self.volume_dtype)
-            self._prepare = jax.jit(lambda v, i, l: self.model.apply(
-                v, i, l, method="prepare").astype(dt))
+            if intrinsic is not None:
+                # CameraAwareSE configs need the camera params in prepare
+                self._prepare = jax.jit(lambda v, i, l, K, c2e: self.model.apply(
+                    v, i, l, intrinsic=K, cam2ego=c2e,
+                    method="prepare").astype(dt))
+            else:
+                self._prepare = jax.jit(lambda v, i, l: self.model.apply(
+                    v, i, l, method="prepare").astype(dt))
+        if intrinsic is not None:
+            return self._prepare(self.variables, imgs, lidar2img, intrinsic,
+                                 cam2ego)
         return self._prepare(self.variables, imgs, lidar2img)
 
     def render(self, volume, origin, direction) -> Dict[str, np.ndarray]:
@@ -180,3 +190,90 @@ def rays_for_cams(img2lidar, rays):
     _, N, R = direction.shape[:3]
     origin = jnp.broadcast_to(origin[0, :, None, :], (N, R, 3)).reshape(-1, 3)
     return origin, direction[0].reshape(-1, 3)
+
+
+# ------------------------------------------------------------ novel-view eval
+def novel_eval_first_sample(ds, cfg, real: bool):
+    """Init-shaped sample dict from either a raw novel-eval dataset
+    (``(input_imgs, _, metas)`` tuples) or a canonical-batch dataset."""
+    if real:
+        input_imgs, _, metas0 = ds[0]
+        return {"imgs": prep_input_imgs(input_imgs, cfg),
+                "lidar2img": jnp.asarray(metas0["lidar2img"],
+                                         jnp.float32)[None],
+                cfg.model.head.trans_kw: jnp.asarray(
+                    metas0["img2lidar"], jnp.float32)[None]}
+    return {k: jnp.asarray(v) for k, v in ds[0].items()
+            if not isinstance(v, (str, dict))}
+
+
+def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
+                         num_samples: int = 0, offsets=(-2.0, -1.0, 1.0, 2.0)):
+    """Shared novel-view depth loop for ``eval_novel_depth[_kitti]``
+    (reference ``eval_novel_depth.py:133-229``): decode the field once per
+    sample, render depth from each temporal neighbor's poses
+    (``render_img2lidar = temImg2lidars[src]``), and bucket depth errors by
+    ``ceil(source_distance)``. Returns the bucket dict and logs the table."""
+    import math
+    from collections import defaultdict
+
+    from ..ops.interp import bilinear_sample
+    from .metrics import cal_depth_metric
+
+    rays = eval_ray_grid(cfg)
+    rh, rw = cfg.eval_num_rays
+    buckets = defaultdict(lambda: defaultdict(list))
+    n = min(num_samples or len(ds), len(ds))
+
+    def score(depth, loc, gt_all, mask_all, bucket):
+        pix = np.stack([loc[..., 0] * (rw - 1), loc[..., 1] * (rh - 1)], -1)
+        for c in range(cfg.num_cams):
+            m = np.asarray(mask_all[c]).astype(bool)
+            if m.sum() == 0:
+                continue
+            pred = np.asarray(bilinear_sample(
+                jnp.asarray(depth[c][..., None]), jnp.asarray(pix[c]),
+                "border"))[..., 0][m]
+            for k, v in cal_depth_metric(pred,
+                                         np.asarray(gt_all[c])[m]).items():
+                buckets[bucket][k].append(v)
+
+    for i in range(n):
+        if real:
+            input_imgs, _, metas = ds[i]
+            imgs = prep_input_imgs(input_imgs, cfg)
+            lidar2img = jnp.asarray(metas["lidar2img"], jnp.float32)[None]
+            volume = renderer.prepare(imgs, lidar2img)
+            for j, tem in enumerate(metas["temImg2lidars"]):
+                origin, direction = rays_for_cams(
+                    jnp.asarray(tem, jnp.float32)[None], rays)
+                depth = renderer.render(volume, origin, direction)[
+                    "depth"].reshape(cfg.num_cams, rh, rw)
+                score(depth, np.asarray(metas["depth_loc"][j]),
+                      metas["depth_gt"][j], metas["depth_mask"][j],
+                      math.ceil(metas["frame_dists"][j]))
+            logger.info(f"[{i + 1}/{n}] rendered "
+                        f"{len(metas['temImg2lidars'])} novel views")
+            continue
+        batch = {k: jnp.asarray(v) for k, v in ds[i].items()
+                 if not isinstance(v, (str, dict))}
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        if not hasattr(ds, "novel_view_sample"):
+            continue
+        for off in offsets:
+            nb = ds.novel_view_sample(i, off)
+            origin, direction = rays_for_cams(
+                jnp.asarray(nb["temImg2lidar"]), rays)
+            depth = renderer.render(volume, origin, direction)[
+                "depth"].reshape(cfg.num_cams, rh, rw)
+            score(depth, nb["depth_loc"], nb["depth_gt"], nb["depth_mask"],
+                  math.ceil(nb["frame_dist"]))
+        logger.info(f"[{i + 1}/{n}] rendered {len(offsets)} novel views")
+
+    logger.info(("{:>8} | " * 8).format(
+        "dist", "abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"))
+    for b in sorted(buckets):
+        vals = [np.mean(buckets[b][k]) for k in
+                ("abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3")]
+        logger.info((f"{b:>8} | " + "{: 8.3f} | " * 7).format(*vals))
+    return buckets

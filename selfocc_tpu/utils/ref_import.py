@@ -50,9 +50,8 @@ NOT covered: ``color_proj`` (this framework folds an explicit
 SH-coefficient projection into decode; the fork's internal color head is
 opaque — imported checkpoints keep a random color projection, which leaves
 SDF/semantics eval [IoU/mIoU] untouched and only perturbs rendered RGB),
-and ``head.flow_net.*`` (the reference uses BatchNorm2d where this
-framework's FlowNet uses LayerNorm — not weight-compatible by design; see
-``models/heads.py:FlowNet``).
+``head.flow_net.*`` imports directly (both sides are
+Conv-BatchNorm-ReLU x2 + 1x1 Conv, reference ``neus_head.py:224-235``).
 """
 from __future__ import annotations
 
@@ -153,9 +152,16 @@ for _p in ("hw", "zh", "wz"):
 
 _NECK_RE = re.compile(r"^img_neck\.(lateral|fpn)_convs\.(\d+)\.conv\.(weight|bias)$")
 
+# BEV flow head (reference neus_head.py:224-235 Sequential):
+# [0]=Conv3x3 [1]=BN [3]=Conv3x3 [4]=BN [6]=Conv1x1
+_FLOW_RE = re.compile(
+    r"^head\.flow_net\.(\d+)\.(weight|bias|running_mean|running_var)$")
+_FLOW_SEQ = {0: ("conv0", "conv"), 1: ("norm0", "bn"),
+             3: ("conv1", "conv"), 4: ("norm1", "bn"), 6: ("out", "conv")}
+
 # field decode MLP (NeuS fork / NeRFAcc BEVNeRF, see module docstring)
 _FIELD_RE = re.compile(
-    r"^head\.(?:model\.field|radiance_field)\.density_net\.(\d+)\.(weight|bias)$")
+    r"^head\.(model\.field|radiance_field)\.density_net\.(\d+)\.(weight|bias)$")
 
 
 def convert_reference_state_dict(
@@ -204,12 +210,34 @@ def convert_reference_state_dict(
             fn = _conv_w if wb == "weight" else _arr
             _set(params, ("img_neck", f"{kind}_{i}", leaf), fn(val))
             continue
+        m = _FLOW_RE.match(key)
+        if m and int(m.group(1)) in _FLOW_SEQ:
+            name, kind, leaf = *_FLOW_SEQ[int(m.group(1))], m.group(2)
+            if kind == "conv":
+                fn = _conv_w if leaf == "weight" else _arr
+                _set(params, ("head", "flow_net", name,
+                              "kernel" if leaf == "weight" else "bias"),
+                     fn(val))
+            elif leaf in ("weight", "bias"):
+                _set(params, ("head", "flow_net", name,
+                              "scale" if leaf == "weight" else "bias"),
+                     _arr(val))
+            else:
+                _set(stats, ("head", "flow_net", name,
+                             "mean" if leaf == "running_mean" else "var"),
+                     _arr(val))
+            continue
         m = _FIELD_RE.match(key)
         if m:
-            idx, wb = int(m.group(1)), m.group(2)
+            idx, wb = int(m.group(2)), m.group(3)
             leaf = "kernel" if wb == "weight" else "bias"
             fn = _lin_w if wb == "weight" else _arr
-            field_net.setdefault(idx, {})[leaf] = fn(val)
+            # the NeuS head registers the field as 'field'; NeRFAccHead as
+            # 'radiance_field' (density_head.py:74) — keep the spelling so
+            # merge_imported lands on the right flax subtree
+            owner = "radiance_field" if m.group(1) == "radiance_field" \
+                else "field"
+            field_net.setdefault((owner, idx), {})[leaf] = fn(val)
             continue
         m = _LAYER_RE.match(key)
         if m and m.group(2) in _LAYER_MAP:
@@ -220,12 +248,18 @@ def convert_reference_state_dict(
 
     if field_net:
         # Sequential Linears sit at odd indices; i-th Linear -> density_{i},
-        # last -> density_out (models/field.py setup)
-        order = sorted(field_net)
-        for i, seq_idx in enumerate(order):
-            name = "density_out" if i == len(order) - 1 else f"density_{i}"
-            for leaf, v in field_net[seq_idx].items():
-                _set(params, ("head", "field", name, leaf), v)
+        # last -> density_out (models/field.py setup); grouped per owner
+        # ('field' for NeuSHead, 'radiance_field' for NeRFAccHead)
+        owners = {}
+        for (owner, seq_idx), leaves in field_net.items():
+            owners.setdefault(owner, {})[seq_idx] = leaves
+        for owner, net in owners.items():
+            order = sorted(net)
+            for i, seq_idx in enumerate(order):
+                name = "density_out" if i == len(order) - 1 \
+                    else f"density_{i}"
+                for leaf, v in net[seq_idx].items():
+                    _set(params, ("head", owner, name, leaf), v)
 
     if per_layer:
         n_layers = max(per_layer) + 1

@@ -86,7 +86,17 @@ def make_optimizer(cfg: Config, grad_accumulation: int = 1):
             return "frozen"
         return _backbone_label(path, leaf)
 
+    # frozen grads are zeroed BEFORE the global-norm clip: the reference's
+    # requires_grad_(False) params have no grads at all, so they must not
+    # inflate the clip norm applied to the trainable params
+    pre = []
+    if frozen:
+        pre.append(optax.masked(
+            optax.set_to_zero(),
+            lambda params: jax.tree_util.tree_map_with_path(
+                lambda path, leaf: label(path, leaf) == "frozen", params)))
     tx = optax.chain(
+        *pre,
         optax.clip_by_global_norm(cfg.grad_max_norm),
         optax.multi_transform(
             {"backbone": scaled(cfg.backbone_lr_mult), "rest": scaled(1.0),

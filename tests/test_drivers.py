@@ -168,7 +168,10 @@ def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
     import eval_iou
     import train as train_mod
 
-    # synthesize a sparse label file: rows (c0, c1, c2) -> gt[c1, c2, c0]
+    # synthesize a sparse label file: rows (c0, c1, c2) -> gt[c1, c2, c0];
+    # the label frame is declared via --openocc-grid (fixed 512x512x40 on
+    # real data; here sized to the OPENOCC_PCR grid at resolution 1.0,
+    # 102x102x8)
     label = np.stack([np.random.randint(0, 8, 40),
                       np.random.randint(0, 102, 40),
                       np.random.randint(0, 102, 40)], 1).astype(np.int64)
@@ -193,7 +196,14 @@ def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
                         lambda cfg, syn: _Inject(real_loader(cfg, syn)))
     _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
                     "--synthetic", "--num-samples", "1",
-                    "--resolution", "1.0"], monkeypatch)
+                    "--resolution", "1.0",
+                    "--openocc-grid", "102", "102", "8"], monkeypatch)
+    # a mismatched label frame must error loudly, never silently drop GT
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="prediction grid"):
+        _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                        "--synthetic", "--num-samples", "1",
+                        "--resolution", "1.0"], monkeypatch)
 
 
 def test_eval_iou_density_nerfacc(workdir, monkeypatch):
@@ -263,3 +273,31 @@ def test_train_prefetch_matches_synchronous(workdir, monkeypatch, tmp_path):
     assert len(a) == len(b) == 2
     for ra, rb in zip(a, b):
         assert abs(ra["value"] - rb["value"]) < 1e-6, (ra, rb)
+
+
+def test_drivers_tolerate_host_only_batch_entries(workdir, monkeypatch):
+    """Real datasets put strings ('token', label paths) in every batch
+    (nuscenes_dataset.py:308-312); drivers must filter them, not
+    jnp.asarray-crash (round-2 review finding)."""
+    import eval_depth
+    import train as train_mod
+
+    real_loader = train_mod.get_dataloader
+
+    class _Tok:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            item = dict(self.ds[i])
+            item["token"] = f"tok{i}"
+            return item
+
+    monkeypatch.setattr(train_mod, "get_dataloader",
+                        lambda cfg, syn: _Tok(real_loader(cfg, syn)))
+    _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir,
+                      "--synthetic", "--num-samples", "1", "--batch", "64",
+                      "--no-shard"], monkeypatch)

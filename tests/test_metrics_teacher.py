@@ -43,3 +43,26 @@ def test_ssc_metrics_perfect_and_ignore():
     m.add_batch(wrong, gt)
     s2 = m.get_stats()
     assert s2["iou_ssc_mean"] < 1.0
+
+
+def test_meaniou_dict_target_occ3d_path():
+    """Occ3D dict-target branch (reference metric_util.py:90-118): dataset
+    empty label remap, camera masking, and the GT-derived z-slab crop that
+    forces predictions outside the labeled slab to empty."""
+    from selfocc_tpu.utils.metrics import MeanIoU
+
+    m = MeanIoU([1], empty_label=0, label_str=["c1"], use_mask=True,
+                dataset_empty_label=17)
+    sem = np.zeros((4, 4, 6), np.int64) + 17        # all free
+    sem[:, :, 2:4] = 1                              # labeled slab z=2..3
+    mask = np.ones((4, 4, 6), bool)
+    mask[0] = False                                 # camera-invisible slice
+
+    pred = np.zeros((4, 4, 6), np.int64)
+    pred[:, :, 2:4] = 1                             # correct inside slab
+    pred[:, :, 5] = 1                               # spurious above slab
+    m._after_step(pred, {"semantics": sem, "mask_camera": mask})
+    # z-crop removes the z=5 spurious hits; masking removes row 0
+    assert m.total_correct[0] == (3 * 4 * 2)
+    assert m.total_positive[0] == (3 * 4 * 2)
+    assert m.total_seen[0] == (3 * 4 * 2)

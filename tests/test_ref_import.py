@@ -174,3 +174,42 @@ def test_merge_rejects_shape_mismatch():
     bad = {"lifter": {"tpv_hw": jnp.zeros((1, 7, 7))}}
     with pytest.raises(AssertionError):
         merge_imported(variables, bad, {})
+
+
+def test_nerfacc_radiance_field_and_flow_import():
+    """The 'radiance_field' key spelling must land on NeRFAccHead's
+    radiance_field subtree (not 'field'), and head.flow_net.* (Conv-BN x2 +
+    1x1 Conv, reference neus_head.py:224-235) imports into FlowNet params +
+    batch_stats (round-2 review findings)."""
+    C = 8
+    sd = {
+        # NeRFAcc field MLP (Sequential odd indices)
+        "head.radiance_field.density_net.1.weight": torch.randn(C, C),
+        "head.radiance_field.density_net.1.bias": torch.randn(C),
+        "head.radiance_field.density_net.3.weight": torch.randn(5, C),
+        "head.radiance_field.density_net.3.bias": torch.randn(5),
+        # flow head
+        "head.flow_net.0.weight": torch.randn(C, 2 * C, 3, 3),
+        "head.flow_net.1.weight": torch.randn(C),
+        "head.flow_net.1.bias": torch.randn(C),
+        "head.flow_net.1.running_mean": torch.randn(C),
+        "head.flow_net.1.running_var": torch.rand(C) + 0.5,
+        "head.flow_net.3.weight": torch.randn(C, C, 3, 3),
+        "head.flow_net.4.weight": torch.randn(C),
+        "head.flow_net.4.bias": torch.randn(C),
+        "head.flow_net.4.running_mean": torch.randn(C),
+        "head.flow_net.4.running_var": torch.rand(C) + 0.5,
+        "head.flow_net.6.weight": torch.randn(9, C, 1, 1),
+        "head.flow_net.6.bias": torch.randn(9),
+    }
+    params, stats, unmatched = convert_reference_state_dict(sd)
+    assert unmatched == []
+    rf = params["head"]["radiance_field"]
+    assert rf["density_0"]["kernel"].shape == (C, C)
+    assert rf["density_out"]["kernel"].shape == (C, 5)
+    assert "field" not in params["head"]
+    fn = params["head"]["flow_net"]
+    assert fn["conv0"]["kernel"].shape == (3, 3, 2 * C, C)
+    assert fn["out"]["kernel"].shape == (1, 1, C, 9)
+    assert fn["norm0"]["scale"].shape == (C,)
+    assert stats["head"]["flow_net"]["norm1"]["mean"].shape == (C,)

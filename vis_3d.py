@@ -62,7 +62,8 @@ def main():
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    from train import as_arrays
+    sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
@@ -72,7 +73,7 @@ def main():
         method="forward_occ"))
 
     for i in range(min(args.num_samples, len(ds))):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = as_arrays(ds[i])
         out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
         sdf = np.asarray(out["sdf"])
         xyz = np.asarray(out["xyz"])

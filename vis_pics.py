@@ -54,7 +54,8 @@ def main():
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic)
-    sample = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    from train import as_arrays
+    sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
@@ -65,7 +66,7 @@ def main():
 
     import cv2
     for i in range(min(args.num_samples, len(ds))):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = as_arrays(ds[i])
         volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
         i2l = batch["img2lidar"]
         if args.novel_view is not None:
