@@ -137,3 +137,25 @@ def test_quaternion_to_rotmat():
     q = _yaw_quat(math.pi / 2)
     R = quaternion_to_rotmat(q)
     np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+
+
+def test_prefetcher_order_and_exceptions():
+    """BatchPrefetcher preserves order and re-raises worker exceptions at the
+    consumer."""
+    import pytest
+    from selfocc_tpu.data.prefetch import BatchPrefetcher
+
+    out = list(BatchPrefetcher(lambda x: x * 2, list(range(20)), depth=3))
+    assert out == [x * 2 for x in range(20)]
+
+    def boom(x):
+        if x == 3:
+            raise ValueError("bad sample")
+        return x
+
+    it = BatchPrefetcher(boom, list(range(6)), depth=2)
+    got = []
+    with pytest.raises(ValueError, match="bad sample"):
+        for v in it:
+            got.append(v)
+    assert got == [0, 1, 2]
