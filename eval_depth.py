@@ -35,6 +35,9 @@ def parse_args():
                          "horizontally-flipped second pass (reference "
                          "eval_depth.py:168-183)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--save-depth", action="store_true",
+                    help="save the (N_cams, H, W) depth map of each sample "
+                         "to work_dir/depth_{i:04d}.npy")
     return ap.parse_args()
 
 
@@ -45,6 +48,7 @@ def main():
     from selfocc_tpu.ops.interp import bilinear_sample
     from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, eval_ray_grid,
                                             load_model_for_eval,
+                                            eval_trans_mats,
                                             rays_for_cams,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
@@ -54,7 +58,7 @@ def main():
     logger = get_logger(args.work_dir)
 
     from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
+    ds = get_dataloader(cfg, args.synthetic, phase="val")
     from train import as_arrays
     sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
@@ -76,7 +80,7 @@ def main():
     for i in range(n):
         batch = as_arrays(ds[i])
         volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
-        origin, direction = rays_for_cams(batch["img2lidar"], rays)
+        origin, direction = rays_for_cams(eval_trans_mats(batch, cfg), rays)
         out = renderer.render(volume, origin, direction)
         total_rays += origin.shape[0]
         depth = out["depth"].reshape(cfg.num_cams, rh, rw)
@@ -95,6 +99,11 @@ def main():
             depth_f = out_f["depth"].reshape(cfg.num_cams, rh, rw)
             depth = 0.5 * (depth + depth_f)
             total_rays += origin.shape[0]
+
+        if args.save_depth:
+            import os
+            np.save(os.path.join(args.work_dir, f"depth_{i:04d}.npy"),
+                    np.asarray(depth))
 
         if "depth_loc" in batch:
             loc = np.asarray(batch["depth_loc"])   # N, n, 2 in [0,1]

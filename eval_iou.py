@@ -178,7 +178,7 @@ def main():
     logger = get_logger(args.work_dir)
 
     from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
+    ds = get_dataloader(cfg, args.synthetic, phase="val")
     sample = {k: jnp.asarray(v) for k, v in ds[0].items()
               if not isinstance(v, (str, dict))}
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,

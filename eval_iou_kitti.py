@@ -51,7 +51,7 @@ def main():
     logger = get_logger(args.work_dir)
 
     from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
+    ds = get_dataloader(cfg, args.synthetic, phase="val")
     from train import as_arrays
     sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,

@@ -45,7 +45,11 @@ def build_sweep_infos(nusc, base_infos):
             sample = nusc.get("sample", sample_token)
             sample_dict = deepcopy(sample)
             data = {s: gather_sensor(sample["data"][s]) for s in SENSOR_TYPES}
-            sample_dict.update(dict(data=data, is_key_frame=True))
+            # scene_name rides along for Occ3D label resolution (Occ3D gts
+            # are keyed by scene NAME, reference eval_iou.py:26-32, while
+            # this pkl is keyed by scene token)
+            sample_dict.update(dict(data=data, is_key_frame=True,
+                                    scene_name=scene_name))
             sample_sweep_list.append(sample_dict)
             meta_data.append((scene_token, len(sample_sweep_list) - 1))
 

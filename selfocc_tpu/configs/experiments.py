@@ -23,6 +23,28 @@ _BASE_CONVERTION = dict(
     ms_depths="ms_depths", ms_rays="ms_rays", ms_colors="ms_colors",
     weights="weights", ts="ts", eik_grad="eik_grad")
 
+# KITTI image normalization (reference config/kitti/kitti_occ.py
+# train_wrapper_config.img_norm_cfg — differs from the ImageNet default)
+_KITTI_IMG_NORM = dict(mean=[124.16, 116.74, 103.94],
+                       std=[58.624, 57.344, 57.6], to_rgb=True)
+
+
+def _nusc_dataset_args(min_dist=0.4, max_dist=30.0, train_cur_prob=0.333,
+                       ego_centric=True, **extra):
+    """nuScenes dataset args, value-for-value from the reference
+    ``train_dataset_config``/``val_dataset_config`` blocks
+    (``config/nuscenes/nuscenes_occ.py:39-79``). The val block flips
+    strict/return_depth/cur_prob — the same values the reference's
+    ``modify_for_eval`` enforces (``utils/config_tools.py:10-67``)."""
+    common = dict(min_dist=min_dist, max_dist=max_dist, eval_depth=80,
+                  prev_prob=0.5, choose_nearest=True, ref_sensor="CAM_FRONT",
+                  composite_prev_next=True, sensor_mus=[0.5, 0.5],
+                  sensor_sigma=0.5, ego_centric=ego_centric, **extra)
+    train = dict(common, strict=True, return_depth=False,
+                 cur_prob=train_cur_prob)
+    val = dict(common, strict=False, return_depth=True, cur_prob=1.0)
+    return train, val
+
 
 def nuscenes_occ() -> Config:
     """reference ``config/nuscenes/nuscenes_occ.py`` (354 LoC)."""
@@ -71,6 +93,7 @@ def nuscenes_occ() -> Config:
             two_split=False, tpv=True),
         lifter_type="TPVQueryLifter", embed_dims=96)
     convertion = dict(_BASE_CONVERTION, second_grad="second_grad", sem="sem")
+    train_ds, val_ds = _nusc_dataset_args()
     return Config(
         name="nuscenes_occ", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=convertion, img_size=img_size,
@@ -78,7 +101,8 @@ def nuscenes_occ() -> Config:
         sem=True, num_classes=num_classes, sem_space="openseed",
         lr=1e-4, weight_decay=0.01,
         multisteplr=True, multistep_decay_t=(3516 * 9,), warmup_iters=1000,
-        steps_per_epoch=3516, scale_rate=0.5, eval_num_rays=(450, 800))
+        steps_per_epoch=3516, scale_rate=0.5, eval_num_rays=(450, 800),
+        train_dataset_args=train_ds, val_dataset_args=val_ds)
 
 
 def nuscenes_depth() -> Config:
@@ -108,11 +132,18 @@ def nuscenes_depth() -> Config:
             return_second_grad=False, return_sem=False, color_dims=0,
             sem_dims=0, ray_img_size=img_size),
         lifter_type="TPVQueryLifter", embed_dims=96)
+    # dataset crop_size is the 900x1600 SUPERVISION size; the 896x1600
+    # input crop comes via input_img_crop_size (reference
+    # config/nuscenes/nuscenes_depth.py train_dataset_config)
+    train_ds, val_ds = _nusc_dataset_args(
+        max_dist=6.0, train_cur_prob=1.0, ego_centric=False,
+        crop_size=[900, 1600], input_img_crop_size=list(img_size))
     return dataclasses.replace(
         cfg, name="nuscenes_depth", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=dict(_BASE_CONVERTION), img_size=img_size,
         input_size=(448, 800), max_epochs=24, sem=False,
-        eval_num_rays=(450, 800))
+        eval_num_rays=(450, 800),
+        train_dataset_args=train_ds, val_dataset_args=val_ds)
 
 
 def nuscenes_novel_depth() -> Config:
@@ -135,10 +166,13 @@ def nuscenes_novel_depth() -> Config:
         head=dataclasses.replace(cfg.model.head, return_second_grad=True,
                           color_dims=3, ray_img_size=img_size))
     convertion = dict(_BASE_CONVERTION, second_grad="second_grad")
+    train_ds, val_ds = _nusc_dataset_args(
+        max_dist=10.0, train_cur_prob=0.333, ego_centric=False)
     return dataclasses.replace(
         cfg, name="nuscenes_novel_depth", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=convertion, img_size=img_size,
-        input_size=(384, 800))
+        input_size=(384, 800),
+        train_dataset_args=train_ds, val_dataset_args=val_ds)
 
 
 def kitti_occ() -> Config:
@@ -181,13 +215,22 @@ def kitti_occ() -> Config:
         lifter_type="TPVQueryLifter", embed_dims=96)
     convertion = dict(_BASE_CONVERTION, second_grad="second_grad",
                       uniform_sdf="uniform_sdf")
+    # reference config/kitti/kitti_occ.py train/val_dataset_config +
+    # the KITTI-specific img_norm in the wrapper blocks
+    kitti_common = dict(frames_interval=0.4, sequence_distance=[10, 40],
+                        prev_prob=0.2, choose_nearest=True)
+    train_ds = dict(kitti_common, split="train", cur_prob=0.333, strict=True)
+    val_ds = dict(kitti_common, split="val", cur_prob=1.0, strict=False,
+                  return_depth=True)
     return Config(
         name="kitti_occ", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=convertion, img_size=img_size,
         input_size=(176, 608), num_rays=num_rays, num_cams=1, max_epochs=24,
         sem=False, num_classes=20, lr=1e-3, weight_decay=0.01,
         steps_per_epoch=3516, scale_rate=0.5,
-        dataset_type="Kitti_One_Frame", eval_num_rays=(176, 608))
+        dataset_type="Kitti_One_Frame", eval_num_rays=(176, 608),
+        train_dataset_args=train_ds, val_dataset_args=val_ds,
+        wrapper_args=dict(img_norm_cfg=dict(_KITTI_IMG_NORM)))
 
 
 def kitti_novel_depth() -> Config:
@@ -205,10 +248,19 @@ def kitti_novel_depth() -> Config:
         head=dataclasses.replace(cfg.model.head, return_uniform_sdf=False,
                           use_compact_2nd_grad=False, ray_img_size=img_size))
     convertion = dict(_BASE_CONVERTION, second_grad="second_grad")
+    # reference config/kitti/kitti_novel_depth.py dataset/wrapper blocks
+    train_ds = dict(split="train", cur_prob=0.5, strict=True, prev_prob=0.0,
+                    choose_nearest=True)
+    val_ds = dict(split="val", cur_prob=1.0, strict=False, prev_prob=0.5,
+                  choose_nearest=True, return_depth=True)
     return dataclasses.replace(
         cfg, name="kitti_novel_depth", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=convertion, img_size=img_size,
-        input_size=(176, 608))
+        input_size=(176, 608),
+        train_dataset_args=train_ds, val_dataset_args=val_ds,
+        wrapper_args=dict(img_norm_cfg=dict(_KITTI_IMG_NORM),
+                          pad_img_size=[384, 1216],
+                          pad_scale_rate=[1.038, 1.0]))
 
 
 def kitti_raw_depth() -> Config:
@@ -245,13 +297,30 @@ def kitti_raw_depth() -> Config:
             render_bkgd="random", embed_dims=96, color_dims=0, sem_dims=0,
             sh_deg=0, two_split=False, tpv=True),
         lifter_type="TPVQueryLifter", embed_dims=96)
+    # reference config/kitti_raw/kitti_raw_depth.py dataset/wrapper blocks
+    # (pose/split paths relocated under data/kitti_raw/; the reference ships
+    # them inside its repo at dataset/kitti_raw/)
+    raw_common = dict(pose_path="data/kitti_raw/orb-slam_poses",
+                      frames_interval=1.0, sequence_distance=5.0,
+                      cur_prob=1.0, choose_nearest=True, eval_depth=80,
+                      include_stereo=True)
+    train_ds = dict(raw_common, strict=True, return_depth=False, prev_prob=0,
+                    split_path="data/kitti_raw/splits/eigen_zhou/"
+                               "train_files.txt")
+    val_ds = dict(raw_common, strict=False, return_depth=True, prev_prob=0.5,
+                  split_path="data/kitti_raw/splits/eigen_zhou/"
+                             "test_files.txt")
     return Config(
         name="kitti_raw_depth", model=model, loss_cfgs=loss_cfgs,
         loss_input_convertion=dict(_BASE_CONVERTION), img_size=img_size,
         input_size=(320, 1024), num_rays=num_rays, num_cams=1, max_epochs=24,
         sem=False, lr=1e-4, weight_decay=0.01, steps_per_epoch=3516,
         scale_rate=0.84, dataset_type="Kitti_Raw_Stereo",
-        eval_num_rays=(176, 608))
+        eval_num_rays=(176, 608),
+        train_dataset_args=train_ds, val_dataset_args=val_ds,
+        wrapper_args=dict(img_norm_cfg=dict(_KITTI_IMG_NORM),
+                          pad_img_size=[320, 1024],
+                          pad_scale_rate=[0.8649, 0.8421]))
 
 
 def nuscenes_occ_bev() -> Config:

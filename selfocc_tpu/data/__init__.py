@@ -4,6 +4,12 @@
 (``dataset/__init__.py:20-106``): dataset -> wrapper(aug) -> canonical array
 batches. Raises FileNotFoundError when the index pkl is absent so the drivers
 fall back to the synthetic scene.
+
+``phase='val'`` builds the VAL split through the val wrapper pipeline (no
+PhotoMetric/flip) with the reference's eval-time dataset overrides applied
+(``utils/config_tools.py:10-67``: ``strict=False, cur_prob=1,
+return_depth=True``) — this is what every eval driver consumes, matching the
+reference's ``val_dataset_loader`` (``eval_iou.py:99-168``).
 """
 from __future__ import annotations
 
@@ -22,53 +28,85 @@ DEFAULT_PATHS = {
         # (utils/config_tools.py:93-115)
         novel_pkl="data/nuscenes_infos_val_temporal_v2.pkl"),
     "Kitti_One_Frame": dict(
-        data_path="data/kitti/", train_pkl="", val_pkl="",
+        data_path="data/kitti/",
         novel_pkl="data/kitti/dataset"),
-    "Kitti_Raw_Stereo": dict(
-        data_path="data/kitti_raw/", train_pkl="", val_pkl=""),
+    "Kitti_Raw_Stereo": dict(data_path="data/kitti_raw/"),
+    "Kitti_Raw": dict(data_path="data/kitti_raw/"),
 }
+
+# the reference's modify_for_eval dataset-config surgery
+# (utils/config_tools.py:10-67) — applied on top of val_dataset_args so any
+# config, including custom ones, evaluates with the current-frame-only,
+# non-strict, depth-returning dataset the reference evaluates with.
+EVAL_OVERRIDES = dict(strict=False, cur_prob=1.0, return_depth=True)
 
 
 def build_dataset(cfg, phase="train"):
     """Real dataset factory; FileNotFoundError when data is not on disk.
 
-    ``phase='novel_eval'`` returns the raw novel-view evaluation dataset
-    (``nuScenes_One_Frame_Eval`` / ``Kitti_Novel_View_Eval``) — the
-    reference's ``modify_for_eval(novel_depth=True)`` dataset swap
+    ``phase='val'`` (all eval/vis drivers) = val split + val aug pipeline +
+    ``EVAL_OVERRIDES``. ``phase='novel_eval'`` returns the raw novel-view
+    evaluation dataset (``nuScenes_One_Frame_Eval`` / ``Kitti_Novel_View_Eval``)
+    — the reference's ``modify_for_eval(novel_depth=True)`` dataset swap
     (``utils/config_tools.py:93-115``)."""
     args = dict(cfg.train_dataset_args if phase == "train"
                 else cfg.val_dataset_args)
+    if phase != "train":
+        args.update(EVAL_OVERRIDES)
     defaults = DEFAULT_PATHS.get(cfg.dataset_type, {})
     data_path = args.pop("data_path", defaults.get("data_path", ""))
-    pkl_key = {"train": "train_pkl", "val": "val_pkl",
-               "novel_eval": "novel_pkl"}[phase]
-    imageset = args.pop("imageset", defaults.get(pkl_key, ""))
-    if not imageset or not os.path.exists(imageset):
-        raise FileNotFoundError(f"dataset index not found: {imageset!r}")
+    crop_size = args.pop("crop_size", list(cfg.img_size))
+
+    def probe(path, what="dataset index"):
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(f"{what} not found: {path!r}")
+        return path
 
     if phase == "novel_eval":
+        imageset = args.pop("imageset", defaults.get("novel_pkl", ""))
+        probe(imageset)
         if cfg.dataset_type == "nuScenes_One_Frame_Sweeps_Dist":
             from .nuscenes_eval_dataset import nuScenes_One_Frame_Eval
             return nuScenes_One_Frame_Eval(
                 data_path=data_path, imageset=imageset,
-                crop_size=list(cfg.img_size), **args)
+                crop_size=crop_size, **args)
         if cfg.dataset_type == "Kitti_One_Frame":
             from .kitti_eval_dataset import Kitti_Novel_View_Eval
             return Kitti_Novel_View_Eval(
                 data_path=data_path, imageset=imageset,
-                crop_size=list(cfg.img_size), **args)
+                crop_size=crop_size, **args)
         raise FileNotFoundError(
             f"no novel-view eval dataset for {cfg.dataset_type}")
 
     if cfg.dataset_type == "nuScenes_One_Frame_Sweeps_Dist":
+        pkl_key = "train_pkl" if phase == "train" else "val_pkl"
+        imageset = args.pop("imageset", defaults.get(pkl_key, ""))
+        probe(imageset)
         from .nuscenes_dataset import nuScenes_One_Frame_Sweeps_Dist
         raw = nuScenes_One_Frame_Sweeps_Dist(
             data_path=data_path, imageset=imageset,
-            crop_size=list(cfg.img_size), **args)
+            crop_size=crop_size, **args)
     elif cfg.dataset_type == "Kitti_One_Frame":
+        args.pop("imageset", None)
+        args.setdefault("split", "train" if phase == "train" else "val")
+        args.setdefault("preprocess_root", os.path.join(data_path,
+                                                        "preprocess"))
+        probe(os.path.join(data_path, "dataset"), "SemanticKITTI root")
         from .kitti_dataset import Kitti_One_Frame
-        raw = Kitti_One_Frame(data_path=data_path, imageset=imageset,
-                              crop_size=list(cfg.img_size), **args)
+        raw = Kitti_One_Frame(data_path=data_path, crop_size=crop_size,
+                              **args)
+    elif cfg.dataset_type in ("Kitti_Raw", "Kitti_Raw_Stereo"):
+        args.pop("imageset", None)
+        split_path = args.pop("split_path", "")
+        probe(split_path, "KITTI-raw split file")
+        from .kitti_raw_dataset import Kitti_Raw, Kitti_Raw_Stereo
+        klass = (Kitti_Raw_Stereo if cfg.dataset_type == "Kitti_Raw_Stereo"
+                 else Kitti_Raw)
+        # the reference supports current-frame supervision only here
+        # (kitti_raw configs pass cur_prob=1.0 for both splits)
+        args["cur_prob"] = 1.0
+        raw = klass(data_path=data_path, split_path=split_path,
+                    crop_size=crop_size, **args)
     else:
         raise FileNotFoundError(
             f"dataset type {cfg.dataset_type} has no data present")
@@ -78,4 +116,5 @@ def build_dataset(cfg, phase="train"):
         photometric_aug=dict(use_swap_channel=False), **cfg.wrapper_args)
 
 
-__all__ = ["SyntheticDataset", "TemporalDatasetWrapper", "build_dataset"]
+__all__ = ["SyntheticDataset", "TemporalDatasetWrapper", "build_dataset",
+           "EVAL_OVERRIDES"]

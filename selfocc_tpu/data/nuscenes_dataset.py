@@ -99,13 +99,29 @@ class nuScenes_One_Frame_Sweeps_Dist:
         self.sensor_types = SENSOR_TYPES
         self.ego_centric = ego_centric
         # Occupancy GT roots: the reference resolves label files through the
-        # nuScenes devkit at eval time (eval_iou.py:26-41,
-        # data/occ3d/gts/{scene}/{token}/labels.npz and
-        # data/nuScenes-Occupancy/scene_{scene_token}/occupancy/{lidar}.npy);
-        # here the pkl scene key + sample token resolve them directly.
+        # nuScenes devkit at eval time (eval_iou.py:26-41) — Occ3D by scene
+        # NAME (data/occ3d/gts/{scene_name}/{token}/labels.npz), OpenOccupancy
+        # by scene TOKEN (scene_{scene_token}/occupancy/{lidar_sd_token}.npy).
+        # The pkl stores scene_name per keyframe (examine_sweeps.py) and is
+        # keyed by scene token; each resolves with its correct identifier.
         self.occ3d_root = occ3d_root
         self.openocc_root = openocc_root
+        self._label_hits = {"occ3d": 0, "openocc": 0}
+        self._label_miss_warned = set()
         self._build_neighbor_lists(ref_sensor, min_dist, max_dist, strict)
+
+    def _warn_label_miss(self, kind, path):
+        """Loud (once per kind) instead of the silent skip: a configured
+        label root that never matches is a mis-keyed directory, not an
+        absent dataset (ADVICE r2: scene-name vs scene-token mixups fail
+        invisibly otherwise)."""
+        if kind not in self._label_miss_warned:
+            self._label_miss_warned.add(kind)
+            import warnings
+            warnings.warn(
+                f"{kind} label root configured but no file at e.g. {path!r};"
+                " if this repeats for every sample the root is mis-keyed"
+                " (occ3d uses scene NAME, openocc uses scene TOKEN)")
 
     def _build_neighbor_lists(self, ref_sensor, min_dist, max_dist, strict):
         """Ego-displacement-windowed neighbor lists
@@ -315,16 +331,26 @@ class nuScenes_One_Frame_Sweeps_Dist:
             "img2nextImg": next_dict["img2temImg"]}
 
         if self.occ3d_root:
-            p = os.path.join(self.occ3d_root, str(scene_token),
+            # Occ3D is laid out by scene NAME (reference eval_iou.py:26-32)
+            scene_name = info.get("scene_name", str(scene_token))
+            p = os.path.join(self.occ3d_root, scene_name,
                              str(info["token"]), "labels.npz")
             if os.path.exists(p):
                 img_metas["occ3d_label_path"] = p
+                self._label_hits["occ3d"] += 1
+            else:
+                self._warn_label_miss("occ3d", p)
         if self.openocc_root:
+            # OpenOccupancy is laid out by scene TOKEN + LIDAR_TOP
+            # sample_data token (reference eval_iou.py:34-39)
             lidar_token = info["data"]["LIDAR_TOP"].get("token", "")
             p = os.path.join(self.openocc_root, f"scene_{scene_token}",
                              "occupancy", f"{lidar_token}.npy")
             if os.path.exists(p):
                 img_metas["openocc_label_path"] = p
+                self._label_hits["openocc"] += 1
+            else:
+                self._warn_label_miss("openocc", p)
 
         if self.return_depth:
             loc, gt, mask = self.get_depth_from_lidar(

@@ -98,13 +98,18 @@ def run_epoch_eval(model, state, cfg, ds, logger, n_samples, epoch):
     metric._after_epoch(logger=logger)
 
 
-def get_dataloader(cfg, synthetic: bool):
-    """Dataset factory: real loaders when data exists, else synthetic."""
+def get_dataloader(cfg, synthetic: bool, phase: str = "train"):
+    """Dataset factory: real loaders when data exists, else synthetic.
+
+    Eval/vis drivers pass ``phase='val'`` — the reference evaluates the VAL
+    split through the val wrapper (no PhotoMetric/flip) with the
+    ``modify_for_eval`` dataset overrides (``utils/config_tools.py:10-67``,
+    ``eval_iou.py:99-168``)."""
     from selfocc_tpu.data.synthetic import SyntheticDataset
     if not synthetic:
         try:
             from selfocc_tpu.data import build_dataset
-            ds = build_dataset(cfg, phase="train")
+            ds = build_dataset(cfg, phase=phase)
             if ds is not None:
                 return ds
         except (ImportError, FileNotFoundError):
@@ -201,8 +206,14 @@ def main():
         rank=jax.process_index(), shuffle=True, seed=args.seed)
     for epoch in range(start_epoch, max_epochs):
         sampler.set_epoch(epoch)
+        # on a mid-epoch resume the sampler skips the consumed prefix, so
+        # the in-epoch counter i restarts at 0; iter-checkpoints written
+        # later in the SAME epoch must save the absolute epoch position
+        # (skip offset + i) or a second resume would repeat samples
+        start_offset = 0
         if last_iter is not None and epoch == start_epoch:
-            sampler.set_last_iter(last_iter % max(len(ds), 1))
+            start_offset = last_iter % max(len(ds), 1)
+            sampler.set_last_iter(start_offset)
             last_iter = None
         order = list(iter(sampler))
         # index groups for the epoch (n_dev samples per DP step, 1 otherwise)
@@ -268,8 +279,9 @@ def main():
             steps_done += 1
             if args.ckpt_freq_iters and global_iter % args.ckpt_freq_iters == 0 \
                     and jax.process_index() == 0:
-                save_checkpoint(ckpt_dir, state, epoch, global_iter,
-                                last_iter=i if args.iter_resume else None)
+                save_checkpoint(
+                    ckpt_dir, state, epoch, global_iter,
+                    last_iter=(start_offset + i) if args.iter_resume else None)
             if args.max_steps and steps_done >= args.max_steps:
                 break
         if hasattr(batch_iter, "close"):

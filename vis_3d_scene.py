@@ -59,7 +59,7 @@ def main():
                     f"{len(ds)} keyframes")
     else:
         from train import get_dataloader
-        ds = get_dataloader(cfg, args.synthetic)
+        ds = get_dataloader(cfg, args.synthetic, phase="val")
     from train import as_arrays
     sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,

@@ -44,6 +44,7 @@ def main():
     from selfocc_tpu.geometry.projection import apply_novel_view
     from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, eval_ray_grid,
                                             load_model_for_eval,
+                                            eval_trans_mats,
                                             rays_for_cams,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
@@ -53,7 +54,7 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
 
     from train import get_dataloader
-    ds = get_dataloader(cfg, args.synthetic)
+    ds = get_dataloader(cfg, args.synthetic, phase="val")
     from train import as_arrays
     sample = as_arrays(ds[0])
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
@@ -68,7 +69,7 @@ def main():
     for i in range(min(args.num_samples, len(ds))):
         batch = as_arrays(ds[i])
         volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
-        i2l = batch["img2lidar"]
+        i2l = eval_trans_mats(batch, cfg)
         if args.novel_view is not None:
             i2l = apply_novel_view(i2l, args.novel_view)
         origin, direction = rays_for_cams(i2l, rays)
