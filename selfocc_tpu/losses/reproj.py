@@ -28,9 +28,21 @@ from .base import BaseLoss, register
 _FAIL = 1e3
 
 
-def _sample_img(img, pix):
-    """img: (H, W, 3); pix: (..., 2) pixel coords -> (..., 3), border pad."""
-    return bilinear_sample(img, pix, padding="border")
+def _sample_img(img, pix, img_size):
+    """img: (H, W, 3); pix: (..., 2) pixel coords in the ``img_size`` frame
+    -> (..., 3), border pad.
+
+    The reference normalizes by the CONFIG img_size then grid_samples with
+    ``align_corners=True`` (``reproj_loss_mono_multi_new_combine.py:144-152``),
+    so the fractional index is ``pix * (dim_img - 1) / img_size`` — NOT the
+    raw pixel coordinate (even when the image matches img_size the index is
+    scaled by (dim-1)/dim). Golden-tested vs the reference's own code in
+    ``tests/test_golden_reference.py``.
+    """
+    sx = (img.shape[1] - 1) / img_size[1]
+    sy = (img.shape[0] - 1) / img_size[0]
+    idx = jnp.stack([pix[..., 0] * sx, pix[..., 1] * sy], axis=-1)
+    return bilinear_sample(img, idx, padding="border")
 
 
 def _ssim_ray_grid(pred, target, ray_resize):
@@ -66,7 +78,7 @@ class _ReprojBase(BaseLoss):
             t[..., None],                          # t
             jnp.ones_like(t[..., None])], axis=-1)
         pix, mask = cal_pixel(trans, coords, self.img_size)
-        rgb = _sample_img(img, pix)
+        rgb = _sample_img(img, pix, self.img_size)
         return rgb, mask
 
 
@@ -92,7 +104,7 @@ class ReprojLossMonoMultiNewCombine(_ReprojBase):
             rgb_prev, prev_mask = self._project_and_sample(rays, t, i2p, prev)
             rgb_next, next_mask = self._project_and_sample(rays, t, i2n, nxt)
 
-            rgb_curr = _sample_img(curr, rays)              # (R, 3)
+            rgb_curr = _sample_img(curr, rays, self.img_size)  # (R, 3)
             diff_prev = jnp.abs(rgb_curr[:, None] - rgb_prev).mean(-1)
             diff_next = jnp.abs(rgb_curr[:, None] - rgb_next).mean(-1)
             diff_prev = jnp.where(prev_mask, diff_prev, 0.0)
@@ -123,8 +135,8 @@ class ReprojLossMonoMultiNewCombine(_ReprojBase):
                 return 0.85 * s + 0.15 * l1_
 
             if not self.no_automask:
-                target_prev = _sample_img(prev, rays)
-                target_next = _sample_img(nxt, rays)
+                target_prev = _sample_img(prev, rays, self.img_size)
+                target_next = _sample_img(nxt, rays, self.img_size)
                 mask_prev_l = reproj(target_prev, rgb_curr)
                 mask_next_l = reproj(target_next, rgb_curr)
                 ray_has_valid = general_mask.any(-1)
@@ -185,7 +197,7 @@ class ReprojLossMonoMultiNew(_ReprojBase):
                 rays, t, img2prevImg[0, cam], prev)
             rgb_next, next_mask = self._project_and_sample(
                 rays, t, img2nextImg[0, cam], nxt)
-            rgb_curr = _sample_img(curr, rays)
+            rgb_curr = _sample_img(curr, rays, self.img_size)
 
             prev_l = direction_loss(rgb_prev, prev_mask, w, rgb_curr)
             next_l = direction_loss(rgb_next, next_mask, w, rgb_curr)
@@ -198,8 +210,10 @@ class ReprojLossMonoMultiNew(_ReprojBase):
                         return l1_
                     s = _ssim_ray_grid(pred, target, self.ray_resize)
                     return 0.85 * s + 0.15 * l1_
-                cands.append(reproj(_sample_img(prev, rays), rgb_curr))
-                cands.append(reproj(_sample_img(nxt, rays), rgb_curr))
+                cands.append(reproj(_sample_img(prev, rays, self.img_size),
+                                    rgb_curr))
+                cands.append(reproj(_sample_img(nxt, rays, self.img_size),
+                                    rgb_curr))
 
             proj = jnp.stack(cands, axis=-1).min(-1)
             tot = tot + proj.mean()

@@ -46,12 +46,17 @@ odd indices (``model/head/nerfacc_head/bev_nerf.py:62-71``). Keys matched:
     ``density_out``, earlier ones to ``density_{i}``. A real fork
     checkpoint with different names still imports via ``extra``.
 
-NOT covered: ``color_proj`` (this framework folds an explicit
-SH-coefficient projection into decode; the fork's internal color head is
-opaque — imported checkpoints keep a random color projection, which leaves
-SDF/semantics eval [IoU/mIoU] untouched and only perturbs rendered RGB),
-``head.flow_net.*`` imports directly (both sides are
-Conv-BatchNorm-ReLU x2 + 1x1 Conv, reference ``neus_head.py:224-235``).
+``color_proj``: imported when the checkpoint carries
+``head.model.field.color_proj.*`` (the naming ``ref_export`` writes, so
+export->import roundtrips); AUTHENTIC reference checkpoints don't have the
+key (the fork's internal color head is opaque) — those keep a random color
+projection, which leaves SDF/semantics eval [IoU/mIoU] untouched and only
+perturbs rendered RGB. A fork with different field naming imports via
+``extra`` (worked example: ``tests/test_ref_import.py::
+test_extra_mapping_divergent_fork_naming``). ``head.flow_net.*`` imports
+directly (both sides are Conv-BatchNorm-ReLU x2 + 1x1 Conv, reference
+``neus_head.py:224-235``). The inverse direction — exporting a checkpoint
+trained here for the reference's own eval scripts — is ``ref_export.py``.
 """
 from __future__ import annotations
 
@@ -74,6 +79,12 @@ def _conv_w(t):
 
 def _arr(t):
     return jnp.asarray(np.asarray(t))
+
+
+def _scalar(t):
+    """(1,)-shaped reference scalar (e.g. SingleVarianceNetwork.variance)
+    -> 0-d param; ref_export inverts back to (1,)."""
+    return jnp.asarray(np.asarray(t)).reshape(())
 
 
 def _set(tree: Dict, path: Tuple[str, ...], value):
@@ -139,8 +150,10 @@ _TOP_MAP: Dict[str, Tuple[Tuple[str, ...], Callable]] = {
     "lifter.tpv_zh": (("lifter", "tpv_zh"), _arr),
     "lifter.tpv_wz": (("lifter", "tpv_wz"), _arr),
     "lifter.bev": (("lifter", "bev"), _arr),
+    # reference stores inv_s as shape (1,) (SingleVarianceNetwork); ours is
+    # a scalar param — squeeze on import (ref_export writes (1,) back)
     "head.model.field.deviation_network.variance":
-        (("head", "field", "deviation", "variance"), _arr),
+        (("head", "field", "deviation", "variance"), _scalar),
 }
 for _p in ("hw", "zh", "wz"):
     for _owner in ("encoder.positional_encoding", "lifter"):
@@ -162,6 +175,10 @@ _FLOW_SEQ = {0: ("conv0", "conv"), 1: ("norm0", "bn"),
 # field decode MLP (NeuS fork / NeRFAcc BEVNeRF, see module docstring)
 _FIELD_RE = re.compile(
     r"^head\.(model\.field|radiance_field)\.density_net\.(\d+)\.(weight|bias)$")
+# explicit SH color projection — this framework's own export naming
+# (ref_export.py); also the natural fork name if one materializes
+_COLOR_RE = re.compile(
+    r"^head\.(model\.field|radiance_field)\.color_proj\.(weight|bias)$")
 
 
 def convert_reference_state_dict(
@@ -238,6 +255,14 @@ def convert_reference_state_dict(
             owner = "radiance_field" if m.group(1) == "radiance_field" \
                 else "field"
             field_net.setdefault((owner, idx), {})[leaf] = fn(val)
+            continue
+        m = _COLOR_RE.match(key)
+        if m:
+            owner = "radiance_field" if m.group(1) == "radiance_field" \
+                else "field"
+            leaf = "kernel" if m.group(2) == "weight" else "bias"
+            fn = _lin_w if m.group(2) == "weight" else _arr
+            _set(params, ("head", owner, "color_proj", leaf), fn(val))
             continue
         m = _LAYER_RE.match(key)
         if m and m.group(2) in _LAYER_MAP:

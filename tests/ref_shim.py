@@ -1,0 +1,212 @@
+"""Import RUNNABLE reference torch modules with their mmengine/mmcv deps
+stubbed (VERDICT r2 next-round #3).
+
+The reference repo at ``/root/reference`` depends on mmengine/mmcv/mmseg/
+nerfstudio/nerfacc — none installed here — but its loss math, the
+``BEVDeformableAttention`` forward and the ``BEVNeRF`` field are plain torch
+underneath. This shim installs ~100 lines of registry/BaseModule/msda-fallback
+stubs into ``sys.modules`` so those files import unmodified, giving golden
+oracles that run the reference's OWN code (not a re-transcription).
+
+Packages are stubbed with ``__path__`` pointing at the real directories so
+submodules load WITHOUT executing the heavy package ``__init__``s
+(``model/__init__.py`` pulls nerfstudio/mmseg).
+"""
+import importlib
+import importlib.util
+import os
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def reference_available():
+    return os.path.isdir(REF_ROOT)
+
+
+def _module(name, **attrs):
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def _pkg_stub(name, path):
+    mod = _module(name)
+    mod.__path__ = [path]
+    return mod
+
+
+def multi_scale_deformable_attn_pytorch(value, spatial_shapes,
+                                        sampling_locations,
+                                        attention_weights):
+    """mmcv's pure-pytorch MSDA fallback semantics: per-level
+    ``grid_sample(align_corners=False, zeros)`` + weighted reduction.
+    Same math as ``tests/test_msda.torch_msda`` (kept in both places so the
+    shim has no test-module import)."""
+    import torch
+    import torch.nn.functional as F
+    bs, _, num_heads, d = value.shape
+    _, nq, _, nl, np_, _ = sampling_locations.shape
+    value_list = value.split([int(h) * int(w) for h, w in spatial_shapes],
+                             dim=1)
+    sampling_grids = 2 * sampling_locations - 1
+    out = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(
+            bs * num_heads, d, int(h), int(w))
+        g = sampling_grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)
+        s = F.grid_sample(v, g, mode="bilinear", padding_mode="zeros",
+                          align_corners=False)
+        out.append(s)
+    att = attention_weights.transpose(1, 2).reshape(
+        bs * num_heads, 1, nq, nl * np_)
+    res = (torch.stack(out, dim=-2).flatten(-2) * att).sum(-1)
+    return res.view(bs, num_heads * d, nq).transpose(1, 2).contiguous()
+
+
+def install_shims():
+    """Idempotent: install mmengine/mmcv/utils.tb_wrapper stubs and the
+    reference package path stubs into ``sys.modules``."""
+    if "mmengine" in sys.modules and hasattr(sys.modules["mmengine"],
+                                             "_selfocc_shim"):
+        return
+    import torch.nn as nn
+
+    class Registry:
+        def __init__(self, name, **kw):
+            self._name = name
+            self._mods = {}
+
+        def register_module(self, *args, **kw):
+            if args and isinstance(args[0], type):
+                self._mods[args[0].__name__] = args[0]
+                return args[0]
+
+            def deco(cls):
+                self._mods[kw.get("name", cls.__name__)] = cls
+                return cls
+            return deco
+
+        def get(self, key):
+            return self._mods[key]
+
+        def build(self, cfg, **extra):
+            cfg = dict(cfg)
+            cls = self._mods[cfg.pop("type")]
+            return cls(**cfg, **extra)
+
+    MODELS = Registry("model")
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+        def init_weights(self):
+            pass
+
+    def xavier_init(module, gain=1, bias=0, distribution="normal"):
+        if distribution == "uniform":
+            nn.init.xavier_uniform_(module.weight, gain=gain)
+        else:
+            nn.init.xavier_normal_(module.weight, gain=gain)
+        if getattr(module, "bias", None) is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        if getattr(module, "weight", None) is not None:
+            nn.init.constant_(module.weight, val)
+        if getattr(module, "bias", None) is not None:
+            nn.init.constant_(module.bias, bias)
+
+    class ManagerMixin:
+        _instance_dict = {}
+
+        def __init__(self, name="", **kw):
+            pass
+
+    mm = _module("mmengine", ConfigDict=dict, _selfocc_shim=True)
+    mm.registry = _module("mmengine.registry", Registry=Registry,
+                          MODELS=MODELS)
+    mm.model = _module("mmengine.model", BaseModule=BaseModule,
+                       xavier_init=xavier_init, constant_init=constant_init)
+    mm.utils = _module("mmengine.utils", ManagerMixin=ManagerMixin)
+    mm.logging = _module("mmengine.logging", MMLogger=types.SimpleNamespace(
+        get_current_instance=lambda: None))
+
+    class MultiScaleDeformableAttnFunction:
+        @staticmethod
+        def apply(value, spatial_shapes, level_start_index,
+                  sampling_locations, attention_weights, im2col_step):
+            return multi_scale_deformable_attn_pytorch(
+                value, spatial_shapes, sampling_locations, attention_weights)
+
+    mmcv = _module("mmcv", _selfocc_shim=True)
+    mmcv.cnn = _module("mmcv.cnn")
+    mmcv.cnn.bricks = _module("mmcv.cnn.bricks")
+    mmcv.cnn.bricks.transformer = _module(
+        "mmcv.cnn.bricks.transformer",
+        build_attention=lambda cfg: MODELS.build(cfg))
+    mmcv.ops = _module("mmcv.ops")
+    mmcv.ops.multi_scale_deform_attn = _module(
+        "mmcv.ops.multi_scale_deform_attn",
+        MultiScaleDeformableAttnFunction=MultiScaleDeformableAttnFunction,
+        multi_scale_deformable_attn_pytorch=(
+            multi_scale_deformable_attn_pytorch))
+    mmcv.utils = _module("mmcv.utils", IS_CUDA_AVAILABLE=False,
+                         IS_MLU_AVAILABLE=False)
+
+    # the reference's own utils package (tb writer singleton) — stub it so
+    # `from utils.tb_wrapper import WrappedTBWriter` never imports
+    # tensorboard / never collides with anything local
+    class WrappedTBWriter:
+        _instance_dict = {}
+
+        @staticmethod
+        def get_instance(name):
+            return None
+
+    u = _module("utils", _selfocc_shim=True)
+    u.tb_wrapper = _module("utils.tb_wrapper", WrappedTBWriter=WrappedTBWriter)
+
+    # reference packages WITHOUT executing their heavy __init__ chains:
+    # stub the parents with __path__ at the real dirs, then normal import
+    # machinery finds leaf modules underneath.
+    for pkg, rel in [
+            ("model", "model"),
+            ("model.head", "model/head"),
+            ("model.head.utils", "model/head/utils"),
+            ("model.head.nerfacc_head", "model/head/nerfacc_head"),
+            ("model.encoder", "model/encoder"),
+            ("model.encoder.bevformer", "model/encoder/bevformer"),
+            ("model.encoder.bevformer.attention",
+             "model/encoder/bevformer/attention"),
+            ("model.encoder.tpvformer", "model/encoder/tpvformer"),
+            ("model.encoder.tpvformer.modules",
+             "model/encoder/tpvformer/modules"),
+    ]:
+        _pkg_stub(pkg, os.path.join(REF_ROOT, rel))
+    # `loss` has a light __init__ (registry + loss imports) that must
+    # actually execute — load it by explicit file path. NEVER put REF_ROOT
+    # on sys.path: the reference's root-level module names (train,
+    # eval_depth, eval_novel_depth_kitti, ...) collide with this repo's
+    # drivers and would shadow them for every later test in the session.
+    if "loss" not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            "loss", os.path.join(REF_ROOT, "loss", "__init__.py"),
+            submodule_search_locations=[os.path.join(REF_ROOT, "loss")])
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["loss"] = mod
+        spec.loader.exec_module(mod)
+
+
+def load_ref(modname):
+    """e.g. ``load_ref('loss')`` or
+    ``load_ref('model.encoder.bevformer.attention.image_cross_attention')``."""
+    install_shims()
+    return importlib.import_module(modname)

@@ -213,3 +213,93 @@ def test_nerfacc_radiance_field_and_flow_import():
     assert fn["out"]["kernel"].shape == (1, 1, C, 9)
     assert fn["norm0"]["scale"].shape == (C,)
     assert stats["head"]["flow_net"]["norm1"]["mean"].shape == (C,)
+
+
+def _tiny_variables(sem=True):
+    cfg = tiny_config(sem=sem)
+    model = TPVSegmentor(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+    H, W = cfg.input_size
+    imgs = jax.random.uniform(rng, (1, cfg.num_cams, H, W, 3))
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    variables = jax.jit(lambda: model.init(
+        {'params': rng, 'dropout': jax.random.PRNGKey(1)},
+        imgs, cams['lidar2img'], cams['img2lidar'], rng, 0, True))()
+    return cfg, model, variables
+
+
+def test_export_import_roundtrip(tmp_path):
+    """ref_export -> .pth -> ref_import reproduces the exact param leaves
+    for every exported subtree (backbone, neck, lifter, encoder layers,
+    field MLP + color_proj, deviation) — the checkpoint a user would hand
+    the reference's own eval scripts (VERDICT r2 #8)."""
+    import os
+    from selfocc_tpu.utils.ref_export import (export_reference_state_dict,
+                                              save_reference_pth)
+
+    cfg, model, variables = _tiny_variables()
+    path = str(tmp_path / "export.pth")
+    save_reference_pth(variables, path)
+    assert os.path.exists(path)
+    sd = torch.load(path, map_location="cpu", weights_only=False)["state_dict"]
+    # reference train.py-style wrapping; now import it back
+    params, stats, unmatched = convert_reference_state_dict(sd)
+    assert unmatched == [], unmatched[:5]
+    merged = merge_imported(variables, params, stats)
+
+    # every leaf the export covered must roundtrip bit-exactly
+    flat_src = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    flat_dst = dict(jax.tree_util.tree_flatten_with_path(
+        merged["params"])[0])
+    n_checked = 0
+    for path_k, v in flat_src:
+        got = flat_dst[path_k]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(v),
+                                   rtol=0, atol=0,
+                                   err_msg=str(path_k))
+        n_checked += 1
+    assert n_checked > 50
+    # color_proj specifically roundtrips (tiny config has color_dims != 3*(deg+1)^2)
+    if "color_proj" in variables["params"]["head"]["field"]:
+        assert any("color_proj" in k for k in sd)
+
+
+def test_export_covers_batch_stats():
+    from selfocc_tpu.utils.ref_export import export_reference_state_dict
+    cfg, model, variables = _tiny_variables()
+    sd = export_reference_state_dict(variables, as_torch=False)
+    if "img_backbone" in variables["params"]:
+        assert any(k.endswith("running_mean") for k in sd)
+
+
+def test_extra_mapping_divergent_fork_naming():
+    """Worked example for the ``extra`` escape hatch (VERDICT r2 #8): a fork
+    checkpoint naming its field MLP ``glin{i}`` still imports — the mapping
+    is just {ref_key: (flax_path, transform)}."""
+    from selfocc_tpu.utils import ref_import as ri
+
+    C = 8
+    sd = {
+        "head.model.field.glin0.weight": torch.randn(C, C),
+        "head.model.field.glin0.bias": torch.randn(C),
+        "head.model.field.glin_out.weight": torch.randn(5, C),
+        "head.model.field.glin_out.bias": torch.randn(5),
+    }
+    extra = {
+        "head.model.field.glin0.weight":
+            (("head", "field", "density_0", "kernel"), ri._lin_w),
+        "head.model.field.glin0.bias":
+            (("head", "field", "density_0", "bias"), ri._arr),
+        "head.model.field.glin_out.weight":
+            (("head", "field", "density_out", "kernel"), ri._lin_w),
+        "head.model.field.glin_out.bias":
+            (("head", "field", "density_out", "bias"), ri._arr),
+    }
+    params, stats, unmatched = convert_reference_state_dict(sd, extra=extra)
+    assert unmatched == []
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["field"]["density_0"]["kernel"]),
+        sd["head.model.field.glin0.weight"].numpy().T, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(params["head"]["field"]["density_out"]["bias"]),
+        sd["head.model.field.glin_out.bias"].numpy(), rtol=1e-6)
