@@ -3,25 +3,85 @@
 Reference baseline: 6 cams x 450x800 rays x 256 samples rendered in ~90 min on
 one RTX3090 (``README.md:95``, BASELINE.md) => ~400 rays/s. This benchmark
 renders the same ray workload (2.16M rays, nuscenes_occ field: TPV 257x257x25,
-21-channel bf16 volume, fused analytic SDF gradients for NeuS alpha) against a decoded
-field volume and reports rays/sec plus the ratio vs that baseline.
+21-channel bf16 volume, fused analytic SDF gradients for NeuS alpha) against a
+decoded field volume and reports rays/sec plus the ratio vs that baseline.
+
+Timing discipline (VERDICT r2 #1): ``jax.block_until_ready`` can return before
+execution completes under the sandbox's axon TPU tunnel, so every timed region
+ends with a forced device->host fetch of real output data. The headline runs
+``--repeat`` times (default 3) and reports the MEDIAN, with every repeat in
+the JSON so tunnel variance is visible.
+
+Utilization (VERDICT r2 #4): the JSON also answers "what fraction of the chip
+is used" via XLA's own cost model (``compiled.cost_analysis()``): ``mfu`` =
+flops/s vs the chip's bf16 peak and ``hbm_gbps`` = bytes-accessed/s. The
+render is a GATHER-ROW-bound workload (~100M gather rows/s on v5e,
+docs/PERFORMANCE.md): expect LOW MFU and moderate HBM numbers — ``rows_per_sec``
+(rays*samples/s, one bundled gather row each) is the speed-of-light metric.
 
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
-   "vs_baseline": N/400, "frame_s": ..., "frame_prepare_s": ...}
+   "vs_baseline": N/400, "repeats": [...], "mfu": ..., "hbm_gbps": ...,
+   "frame_s": ..., "frame_exact_s": ...}
 
 The default run also measures the FULL per-frame eval latency (prepare:
-backbone -> encoder -> field decode, plus the 2.16M-ray depth render)
-through the real ``nuscenes_occ_fast`` model, merged into the same line as
-``frame_*`` keys (failure-guarded). ``--frame [CONFIG]`` measures only that,
-on any config, reporting ``eval_frame_seconds`` with the breakdown — the
-reference anchor is the same 90-min GPU figure for one surround frame.
+backbone -> encoder -> field decode, plus the 2.16M-ray depth render) through
+the real model for BOTH the TPU-fast recipe (``nuscenes_occ_fast``, merged as
+``frame_*``) and the reference-exact-semantics recipe (``nuscenes_occ_compact``,
+merged as ``frame_exact_*``; VERDICT r2 #9). ``--frame [CONFIG]`` measures only
+that, on any config — the reference anchor is the same 90-min GPU figure for
+one surround frame.
 """
 import argparse
 import json
 import time
 
 import numpy as np
+
+# Single-chip peaks used for utilization reporting. TPU v5e (v5 lite):
+# 197 TFLOP/s bf16 / 394 TOP/s int8, 819 GB/s HBM (public spec). fp32
+# matmul goes through the same MXU at ~half rate but this workload is
+# gather/VPU-bound so the bf16 peak is the honest denominator.
+PEAKS = {
+    "v5 lite": dict(flops=197e12, hbm=819e9),
+    "v5": dict(flops=459e12, hbm=1228e9),          # v5p
+    "v4": dict(flops=275e12, hbm=1228e9),
+    "v6": dict(flops=918e12, hbm=1640e9),          # trillium
+}
+
+
+def device_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in PEAKS.items():
+        if key in kind:
+            return peaks
+    return PEAKS["v5 lite"]
+
+
+def cost_analysis(compiled):
+    """XLA's per-executable cost model; {} when the backend won't say."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return dict(ca) if ca else {}
+    except Exception:
+        return {}
+
+
+def utilization(ca, dt, n_exec=1):
+    """mfu / hbm_gbps from a cost_analysis dict and measured seconds."""
+    out = {}
+    peaks = device_peaks()
+    flops = ca.get("flops", 0.0) * n_exec
+    byts = ca.get("bytes accessed", 0.0) * n_exec
+    if flops and dt > 0:
+        out["mfu"] = round(flops / dt / peaks["flops"], 5)
+    if byts and dt > 0:
+        out["hbm_gbps"] = round(byts / dt / 1e9, 1)
+        out["hbm_util"] = round(byts / dt / peaks["hbm"], 4)
+    return out
 
 
 def bench_frame(args):
@@ -71,7 +131,7 @@ def bench_frame(args):
     total_rays = origin.shape[0]
     t0 = time.time()
     out = renderer.render(vol, origin, direction)
-    _ = out["depth"].sum()
+    fetch(out["depth"])
     render_s = time.time() - t0
 
     frame_s = prep_s + render_s
@@ -96,7 +156,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=32768)
     ap.add_argument("--cams", type=int, default=6)
     ap.add_argument("--rays", type=int, nargs=2, default=[450, 800])
-    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",
                     help="field volume dtype; the render is HBM-gather-bound, bf16 triples throughput")
     ap.add_argument("--bundle", action="store_true", default=True,
@@ -108,6 +168,12 @@ def main():
                     help="measure full prepare+render per-frame latency on "
                          "CONFIG (default nuscenes_occ_fast) instead of the "
                          "render-only headline")
+    ap.add_argument("--no-frames", dest="frames", action="store_false",
+                    default=True,
+                    help="skip the per-frame latency add-ons (headline only)")
+    ap.add_argument("--full-channels", action="store_true",
+                    help="headline renders with the full [sdf|SH|sem] gather "
+                         "payload instead of the sdf-only depth fast path")
     args = ap.parse_args()
     if args.frame:
         print(json.dumps(bench_frame(args)))
@@ -176,20 +242,33 @@ def main():
     direction = direction.reshape(n_chunks, args.chunk, 3)
 
     # volume and params must be jit *arguments* — closing over them bakes
-    # ~150 MB of constants into the MLIR and multiplies compile time
+    # ~150 MB of constants into the MLIR and multiplies compile time.
+    # geo_only: the depth workload gathers ONLY the sdf channel (what
+    # eval_depth's ChunkedRenderer(outputs=("depth",)) compiles to); pass
+    # --full-channels to measure the all-channel gather instead.
+    geo_only = not args.full_channels
     render = jax.jit(lambda v, vol, o, d: head.apply(
-        v, vol, o, d, train=False, method="render_rays")["depth"])
+        v, vol, o, d, train=False, geo_only=geo_only,
+        method="render_rays")["depth"])
 
-    # warmup / compile
-    jax.block_until_ready(render(variables, volume, origin[0], direction[0]))
+    # warmup / compile; grab XLA's cost model for utilization reporting
+    lowered = render.lower(variables, volume, origin[0], direction[0])
+    compiled = lowered.compile()
+    ca = cost_analysis(compiled)
+    _ = np.asarray(render(variables, volume, origin[0], direction[0]))
 
-    t0 = time.time()
+    repeats = []
     for _ in range(args.repeat):
-        out = []
-        for i in range(n_chunks):
-            out.append(render(variables, volume, origin[i], direction[i]))
+        t0 = time.time()
+        out = [render(variables, volume, origin[i], direction[i])
+               for i in range(n_chunks)]
         jax.block_until_ready(out)
-    dt = (time.time() - t0) / args.repeat
+        # forced fetch: chunks execute in program order on the one device
+        # stream, so pulling the LAST chunk's data to host proves the whole
+        # sweep ran (block_until_ready alone can return early under axon)
+        _ = float(np.asarray(out[-1]).reshape(-1)[0])
+        repeats.append(time.time() - t0)
+    dt = float(np.median(repeats))
 
     rays_per_sec = total_rays / dt
     baseline = 2_160_000 / (90 * 60)  # ~400 rays/s (RTX3090, README.md:95)
@@ -198,16 +277,24 @@ def main():
         "value": round(float(rays_per_sec), 1),
         "unit": "rays/s",
         "vs_baseline": round(float(rays_per_sec / baseline), 2),
+        "repeats_s": [round(r, 3) for r in repeats],
+        # one bundled gather row per (ray, sample): the binding constraint
+        "rows_per_sec_m": round(total_rays * head.num_samples / dt / 1e6, 1),
     }
+    record.update(utilization(ca, dt, n_exec=n_chunks))
+    if not args.frames:
+        print(json.dumps(record))
+        return
     # also measure the full per-frame eval latency through the real model
-    # (prepare: backbone->encoder->decode, + depth render) — cheap here: the
-    # repo-local .jax_cache makes the flagship compiles near-instant after
-    # this session's runs. Guarded so a frame failure never loses the
-    # headline.
+    # (prepare: backbone->encoder->decode, + depth render) for the fast AND
+    # the reference-exact-semantics recipes — cheap here: the repo-local
+    # .jax_cache makes the flagship compiles near-instant after this
+    # session's runs. Guarded so a frame failure never loses the headline.
     try:
         # free the headline's device buffers first (holding an extra decoded
         # volume over the flagship prepare peak OOMs a 16 GB v5e)
         del variables, volume, origin, direction, out, render
+        del lowered, compiled
         import argparse as _ap
         fargs = _ap.Namespace(**{**vars(args), "frame": "nuscenes_occ_fast"})
         frame = bench_frame(fargs)
@@ -220,6 +307,21 @@ def main():
         })
     except Exception as e:   # pragma: no cover - depends on device state
         record["frame_error"] = f"{type(e).__name__}: {e}"[:160]
+    try:
+        # reference-exact semantics (per-head sampling locations; compaction
+        # is exact given capacity) — the number the parity story rests on
+        fargs = _ap.Namespace(**{**vars(args),
+                                 "frame": "nuscenes_occ_compact"})
+        frame = bench_frame(fargs)
+        record.update({
+            "frame_exact_config": frame["config"],
+            "frame_exact_s": frame["value"],
+            "frame_exact_prepare_s": frame["prepare_s"],
+            "frame_exact_render_s": frame["render_s"],
+            "frame_exact_vs_90min_gpu": frame["vs_baseline"],
+        })
+    except Exception as e:   # pragma: no cover - depends on device state
+        record["frame_exact_error"] = f"{type(e).__name__}: {e}"[:160]
     print(json.dumps(record))
 
 

@@ -67,6 +67,14 @@ class HeadConfig:
     use_numerical_gradients: bool = False
     numerical_gradients_delta: float = 0.01
     use_compact_2nd_grad: bool = False
+    # AABB annealing curriculum (reference neus_head.py:56-59; off in every
+    # shipped config) — see models/heads.py for the inferred semantics.
+    anneal_aabb: bool = False
+    aabb_every_iters: int = 3516
+    aabb_min_near: float = 10.0
+    aabb_min_far_frac: float = 0.25
+    # upsampling base inv_s (reference neus_head.py:33; configs pass 4)
+    base_variance: float = 4.0
     return_uniform_sdf: bool = False
     return_max_depth: bool = False
     return_surface_sdf: bool = False

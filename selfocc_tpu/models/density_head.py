@@ -89,9 +89,14 @@ class NeRFAccHead(nn.Module):
     def prepare(self, representation):
         return self.radiance_field.decode(representation)[0]
 
-    def render_rays(self, volume, origin, direction, rng=None, train=True):
+    def render_rays(self, volume, origin, direction, rng=None, train=True,
+                    geo_only=False):
         """Density rendering along fixed uniform samples
-        (``rendering.py:15-170`` behavior under the dense regime)."""
+        (``rendering.py:15-170`` behavior under the dense regime).
+
+        ``geo_only`` (static): gather only the density channel and skip
+        rgb/sem — same depth/weights, much smaller gather payload (see
+        ``NeuSHead.render_rays``)."""
         direction = direction.astype(jnp.float32)
         origin = origin.astype(jnp.float32)
         dnorm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
@@ -105,7 +110,8 @@ class NeRFAccHead(nn.Module):
         mids = segs.mids
         pos = origin[:, None, :] + unit[:, None, :] * mids[..., None]
 
-        geo = self.radiance_field.query_geo(volume, pos)
+        geo = self.radiance_field.query_geo(
+            volume[:1] if geo_only else volume, pos)
         sigma = jax.nn.softplus(geo["sdf"])                 # bev_nerf.py:117
         alpha = 1.0 - jnp.exp(-sigma * segs.deltas)
         weights = neus.weights_from_alpha(alpha)
@@ -120,7 +126,7 @@ class NeRFAccHead(nn.Module):
         out["ts"] = mids / dnorm
         out["deltas"] = segs.deltas / dnorm
 
-        if self.color_dims > 0:
+        if self.color_dims > 0 and not geo_only:
             rgb_s = self.radiance_field.color(geo["color_feat"],
                                               unit[:, None, :])
             rgb = neus.composite(weights, rgb_s)
@@ -135,7 +141,7 @@ class NeRFAccHead(nn.Module):
             out["rgb"] = rgb + bkgd * (1.0 - opacity)[..., None]
         else:
             out["rgb"] = jnp.zeros(sigma.shape[:-1] + (0,), jnp.float32)
-        if self.return_sem and self.sem_dims > 0:
+        if self.return_sem and self.sem_dims > 0 and not geo_only:
             sem_s = jax.nn.softmax(geo["sem_logits"], axis=-1)
             out["sem"] = neus.composite(weights, sem_s)
         return out

@@ -779,6 +779,11 @@ class TPVFormerEncoder(nn.Module):
             if intrinsic is None or cam2ego is None:
                 raise ValueError(
                     "camera_aware=True needs intrinsic/cam2ego in the batch")
+            # default mid=embed_dims matches the reference ENCODER's default
+            # (tpvformer_encoder.py:62-63: None -> embed_dims, which also
+            # skips the reduce conv inside CameraAwareSE since in==mid);
+            # the raw CameraAwareSE class default of 192 is never reachable
+            # through the reference encoder, so checkpoints line up.
             mid = self.camera_aware_mid_channels or self.embed_dims
             ms_img_feats = CameraAwareSE(
                 in_channels=self.embed_dims, mid_channels=mid,

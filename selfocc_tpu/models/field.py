@@ -267,6 +267,25 @@ class TPVSDFField(nn.Module):
                           - 2 * center) / (delta * delta))
         return jnp.stack(comps, axis=-1)
 
+    def second_grad_noncompact(self, volume, xyz, delta: float):
+        """Non-compact second derivative (reference
+        ``use_compact_2nd_grad=False`` — the DEFAULT, used by the flagship
+        ``nuscenes_occ``; ``neus_head.py:44``, ``config/nuscenes/
+        nuscenes_occ.py`` leaves it unset): central difference of the SDF
+        GRADIENT along each axis, ``(∂sdf/∂i(x+δe_i) − ∂sdf/∂i(x−δe_i)) /
+        (2δ)``, vs the compact form's sdf-tap reuse. The fork implementing
+        it (sdfstudio fork ``sdf_custom_field``) is not vendored in the
+        reference repo, so the formula is the standard grad-difference
+        estimator both forms converge to; the compact form stays available
+        via ``use_compact_2nd_grad=True`` (``kitti_occ``)."""
+        comps = []
+        for axis in range(3):
+            e = jnp.zeros((3,), jnp.float32).at[axis].set(delta)
+            gp = self.sdf_grad(volume, xyz + e)[..., axis]
+            gm = self.sdf_grad(volume, xyz - e)[..., axis]
+            comps.append((gp - gm) / (2 * delta))
+        return jnp.stack(comps, axis=-1)
+
     def color(self, color_feat, viewdirs):
         """Interpolated SH coefficients + view directions -> RGB
         (reference ``bev_nerf.py:141-144`` / ``sh_render.py:84-94``).

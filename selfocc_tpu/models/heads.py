@@ -82,6 +82,21 @@ class NeuSHead(nn.Module):
     use_numerical_gradients: bool = False
     numerical_gradients_delta: float = 0.01
     use_compact_2nd_grad: bool = False
+    # AABB annealing (reference neus_head.py:56-59): during training the
+    # per-ray [near, far] band starts at [aabb_min_near, near +
+    # aabb_min_far_frac*(far-near)] and expands to the full AABB band over
+    # total_iters, stepping every aabb_every_iters. The implementing fork
+    # is not vendored in the reference repo; this is the inference the knob
+    # names + defaults support (min_near=10m, min_far_frac=0.25 — a
+    # mid-range curriculum shell). Off in every shipped config.
+    anneal_aabb: bool = False
+    aabb_every_iters: int = 3516
+    aabb_min_near: float = 10.0
+    aabb_min_far_frac: float = 0.25
+    # Hierarchical-upsampling base inv_s: step i uses base_variance * 2^i
+    # (reference neus_head.py:33; every shipped config passes 4 — inert
+    # there since num_samples_importance=0, but plumbed for parity).
+    base_variance: float = 64.0
 
     return_uniform_sdf: bool = False
     return_max_depth: bool = False
@@ -166,7 +181,8 @@ class NeuSHead(nn.Module):
         return self.field.inv_s()
 
     def render_rays(self, volume, origin, direction, rng=None,
-                    global_iter=None, train=True, inv_s=None):
+                    global_iter=None, train=True, inv_s=None,
+                    geo_only=False):
         """Render a flat batch of rays against a decoded volume.
 
         Args:
@@ -175,6 +191,14 @@ class NeuSHead(nn.Module):
             directions — normalized here, with ``direction_norm`` kept to
             convert euclidean ray distance to camera z-depth
             (``neus_head.py:520-521, 570-577``).
+          geo_only: static; render only geometry outputs (depth/weights/
+            sdf/grad — everything channel-0 derived). The sample gather
+            then reads ONLY the sdf channel instead of the full
+            [sdf|SH|sem] stack — the render is gather-payload-bound at
+            flagship channel counts, so depth-only eval is ~2x faster
+            (docs/PERFORMANCE.md). Identical depth/weights to the full
+            render; rgb comes back as the empty (R, 0) array and sem /
+            second_grad / surface-color outputs are omitted.
         Returns:
           dict of per-ray quantities; ts/deltas already divided by
           direction_norm (the post-8.16 behavior, ``neus_head.py:570``).
@@ -186,6 +210,21 @@ class NeuSHead(nn.Module):
 
         near, far = neus.ray_aabb_near_far(
             origin, unit_dir, self.roi_aabb, self.near_plane, self.far_plane)
+        if self.anneal_aabb and train:
+            it = 0.0 if global_iter is None else global_iter
+            # stepwise progress quantized to aabb_every_iters, full band at
+            # total_iters (see knob docstring above — inferred semantics)
+            p = jnp.clip(jnp.floor(it / self.aabb_every_iters)
+                         * self.aabb_every_iters / self.total_iters, 0.0, 1.0)
+            near_clamp = (self.aabb_min_near
+                          + p * (self.near_plane - self.aabb_min_near))
+            far_frac = (self.aabb_min_far_frac
+                        + p * (1.0 - self.aabb_min_far_frac))
+            ann_near = jnp.maximum(near, near_clamp)
+            ann_far = near + far_frac * (far - near)
+            # keep the band non-degenerate whatever the AABB intersection
+            near = jnp.minimum(ann_near, ann_far - 1e-3)
+            far = jnp.maximum(ann_far, near + 1e-3)
         sample_rng = None
         if train and rng is not None:
             rng, sample_rng = jax.random.split(rng)
@@ -206,7 +245,8 @@ class NeuSHead(nn.Module):
                         pos)
                 else:
                     sdf_c = self.field.sdf(volume, pos)
-                new_ts = neus.upsample_ts(ts, sdf_c, n_per, 64.0 * 2 ** i)
+                new_ts = neus.upsample_ts(ts, sdf_c, n_per,
+                                          self.base_variance * 2 ** i)
                 ts = neus.merge_ts(ts, new_ts)
             mids = ts                                        # (R, S + Si)
             deltas = jnp.concatenate(
@@ -214,18 +254,21 @@ class NeuSHead(nn.Module):
                  jnp.maximum(far[:, None] - mids[:, -1:], 1e-4)], axis=-1)
         positions = origin[:, None, :] + unit_dir[:, None, :] * mids[..., None]
 
+        # geo_only: gather just the sdf channel (depth/weights need nothing
+        # else) — channel slices below clamp to empty on the 1-channel view
+        qvol = volume[:1] if geo_only else volume
         if self.use_numerical_gradients:
-            geo = self.field.query_geo(volume, positions)
+            geo = self.field.query_geo(qvol, positions)
             grad = self.field.sdf_numerical_grad(
                 volume, positions, self.numerical_gradients_delta)
         elif self.bundle_volume and not train:
             from ..ops.interp import bundle_corners_cf
             geo, grad = self.field.query_geo_grad_bundled(
-                bundle_corners_cf(volume), volume.shape, positions)
+                bundle_corners_cf(qvol), qvol.shape, positions)
         else:
             # fused: one corner-gather pass yields all channels AND the
             # analytic SDF gradient (field.query_geo_grad)
-            geo, grad = self.field.query_geo_grad(volume, positions)
+            geo, grad = self.field.query_geo_grad(qvol, positions)
         sdf = geo["sdf"]                                     # (R, S)
 
         if inv_s is None:
@@ -251,7 +294,7 @@ class NeuSHead(nn.Module):
         out["ts"] = mids / direction_norm
         out["deltas"] = deltas / direction_norm
 
-        if self.color_dims > 0:
+        if self.color_dims > 0 and not geo_only:
             rgb_samples = self.field.color(geo["color_feat"], unit_dir[:, None, :])
             rgb = neus.composite(weights, rgb_samples)
             bkgd_rng = None
@@ -269,7 +312,7 @@ class NeuSHead(nn.Module):
         else:
             out["rgb"] = jnp.zeros(sdf.shape[:-1] + (0,), jnp.float32)
 
-        if self.return_sem and self.sem_dims > 0:
+        if self.return_sem and self.sem_dims > 0 and not geo_only:
             sem_samples = jax.nn.softmax(geo["sem_logits"], axis=-1)
             out["sem"] = neus.composite(weights, sem_samples)
 
@@ -277,10 +320,16 @@ class NeuSHead(nn.Module):
             jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-6)
         out["normal_vis"] = neus.composite(weights, (norm + 1.0) / 2.0)
 
-        if self.return_second_grad:
-            out["second_grad"] = self.field.second_grad(
-                volume, positions, self.numerical_gradients_delta,
-                center=sdf)
+        if self.return_second_grad and not geo_only:
+            if self.use_compact_2nd_grad:
+                out["second_grad"] = self.field.second_grad(
+                    volume, positions, self.numerical_gradients_delta,
+                    center=sdf)
+            else:
+                # reference DEFAULT (flagship nuscenes_occ): non-compact —
+                # central difference of the gradient (field docstring)
+                out["second_grad"] = self.field.second_grad_noncompact(
+                    volume, positions, self.numerical_gradients_delta)
 
         if self.return_surface_sdf:
             surf_pts = origin + unit_dir * depth[..., None] * direction_norm

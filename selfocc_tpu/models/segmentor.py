@@ -134,6 +134,11 @@ class TPVSegmentor(nn.Module):
             use_numerical_gradients=h.use_numerical_gradients,
             numerical_gradients_delta=h.numerical_gradients_delta,
             use_compact_2nd_grad=h.use_compact_2nd_grad,
+            anneal_aabb=h.anneal_aabb,
+            aabb_every_iters=h.aabb_every_iters,
+            aabb_min_near=h.aabb_min_near,
+            aabb_min_far_frac=h.aabb_min_far_frac,
+            base_variance=h.base_variance,
             return_uniform_sdf=h.return_uniform_sdf,
             return_max_depth=h.return_max_depth,
             return_surface_sdf=h.return_surface_sdf,
@@ -234,7 +239,10 @@ class TPVSegmentor(nn.Module):
                                       intrinsic=intrinsic, cam2ego=cam2ego)
         return self.head.prepare(rep)
 
-    def render_rays(self, volume, origin, direction):
+    def render_rays(self, volume, origin, direction, geo_only=False):
         """Render a ray chunk against a prepared volume (eval-time chunked
-        rendering, ``neus_head.py:308-471``)."""
-        return self.head.render_rays(volume, origin, direction, train=False)
+        rendering, ``neus_head.py:308-471``). ``geo_only`` (static) gathers
+        only the sdf/density channel — depth-eval fast path, see
+        ``NeuSHead.render_rays``."""
+        return self.head.render_rays(volume, origin, direction, train=False,
+                                     geo_only=geo_only)

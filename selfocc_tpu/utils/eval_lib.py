@@ -103,10 +103,21 @@ class ChunkedRenderer:
         # the full head dict and discarding host-side cost 25x on the
         # flagship depth eval (8.9k vs 222k rays/s, measured).
         self.outputs = tuple(outputs)
+        # When every requested output is channel-0-derived (depth/weights/
+        # geometry), render geo_only: the sample gather reads just the sdf
+        # channel instead of the full [sdf|SH|sem] stack. DCE alone can't do
+        # this — the corner-bundled volume fuses all channels into one fat
+        # gather row, so unused channels still cost HBM bandwidth (~2x on
+        # the flagship depth eval, docs/PERFORMANCE.md).
+        geo_outputs = {"depth", "weights", "acc", "fars", "inv_s", "sdf",
+                       "sigma", "eik_grad", "ts", "deltas", "normal_vis",
+                       "surface_sdf", "max_depth"}
+        geo_only = set(self.outputs) <= geo_outputs
         # variables/volume are jit ARGUMENTS (closure capture would bake the
         # decoded volume + params into the compiled module as constants)
         def _render_fn(v, vol, o, d):
-            r = model.apply(v, vol, o, d, method="render_rays")
+            r = model.apply(v, vol, o, d, geo_only=geo_only,
+                            method="render_rays")
             return {k: r[k] for k in self.outputs if k in r}
         if shard and len(jax.devices()) > 1:
             from ..parallel.mesh import batch_sharded, make_mesh, replicated
@@ -120,21 +131,28 @@ class ChunkedRenderer:
 
     def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
                 cam2ego=None):
-        if not hasattr(self, "_prepare"):
-            import jax.numpy as _jnp
-            dt = _jnp.dtype(self.volume_dtype)
-            if intrinsic is not None:
+        # cache one jit per arity — mixing camera-aware and plain calls on
+        # the same renderer must not collide (the first-call signature would
+        # otherwise be baked in and later calls raise TypeError)
+        if not hasattr(self, "_prepare_fns"):
+            self._prepare_fns = {}
+        key = intrinsic is not None
+        if key not in self._prepare_fns:
+            dt = jnp.dtype(self.volume_dtype)
+            if key:
                 # CameraAwareSE configs need the camera params in prepare
-                self._prepare = jax.jit(lambda v, i, l, K, c2e: self.model.apply(
-                    v, i, l, intrinsic=K, cam2ego=c2e,
-                    method="prepare").astype(dt))
+                self._prepare_fns[key] = jax.jit(
+                    lambda v, i, l, K, c2e: self.model.apply(
+                        v, i, l, intrinsic=K, cam2ego=c2e,
+                        method="prepare").astype(dt))
             else:
-                self._prepare = jax.jit(lambda v, i, l: self.model.apply(
-                    v, i, l, method="prepare").astype(dt))
-        if intrinsic is not None:
-            return self._prepare(self.variables, imgs, lidar2img, intrinsic,
-                                 cam2ego)
-        return self._prepare(self.variables, imgs, lidar2img)
+                self._prepare_fns[key] = jax.jit(
+                    lambda v, i, l: self.model.apply(
+                        v, i, l, method="prepare").astype(dt))
+        if key:
+            return self._prepare_fns[key](self.variables, imgs, lidar2img,
+                                          intrinsic, cam2ego)
+        return self._prepare_fns[key](self.variables, imgs, lidar2img)
 
     def render(self, volume, origin, direction) -> Dict[str, np.ndarray]:
         """origin/direction: (R, 3). Returns host-side dict of per-ray
@@ -182,6 +200,20 @@ def eval_ray_grid(cfg: Config, num_rays=None):
     sampler = RaySampler(ray_sample_mode="fixed", ray_number=tuple(num_rays),
                          ray_img_size=tuple(cfg.img_size))
     return sampler()
+
+
+def eval_trans_mats(batch, cfg: Config):
+    """Matrices the eval render projects rays through: ``trans_kw_eval``
+    when set, else ``trans_kw`` (reference ``Img2LiDAR`` eval-key selection,
+    ``model/head/nerfacc_head/img2lidar.py:21,31-35``), falling back to
+    ``img2lidar`` when the eval batch doesn't carry the temporal key — with
+    the eval dataset's ``cur_prob=1`` the temporal and current matrices
+    coincide, so the fallback is exact."""
+    h = cfg.model.head
+    kw = h.trans_kw_eval or h.trans_kw
+    if isinstance(kw, (list, tuple)):
+        kw = kw[0]
+    return batch[kw] if kw in batch else batch["img2lidar"]
 
 
 def rays_for_cams(img2lidar, rays):

