@@ -17,7 +17,10 @@ then scores against labels exactly like the reference:
     against the sparse ``.npy`` voxel-coordinate labels scattered into a
     dense grid (reference ``:260-283``), after the z-crops
     ``occ[..., -4:] = 0``/``occ[..., :5] = 0`` + lateral borders
-    (``:252-259``).
+    (``:252-259``). Semantic mIoU scatters the labels' class column into
+    the same frame — a deliberate fix of the reference, whose sem path
+    drops the class column and scores against raw coordinates
+    (``:41, :266-270``).
   * synthetic fallback: procedural GT occupancy grid (pipeline validation).
 
 Predicted semantics are remapped ``openseed->nuscenes`` at eval when the
@@ -90,22 +93,30 @@ def read_occ3d_label(path):
 
 
 def read_openoccupancy_label(path):
-    """OpenOccupancy ``.npy``: rows of occupied-voxel indices; the first
-    three columns are the voxel coordinates (reference
-    ``eval_iou.py:34-41``)."""
+    """OpenOccupancy ``.npy``: rows of occupied voxels. The first three
+    columns are the voxel coordinates (reference ``eval_iou.py:34-41``);
+    a fourth column, when present, is the nuScenes semantic class (the
+    reference DISCARDS it with ``label[:, :3]``, which is why its sem
+    mIoU path is broken — see the driver). Returns ``(coords, cls)``
+    with ``cls=None`` for 3-column files."""
     label = np.load(path)
-    return np.asarray(label[:, :3], dtype=np.int64)
+    coords = np.asarray(label[:, :3], dtype=np.int64)
+    cls = np.asarray(label[:, 3], dtype=np.int64) if label.shape[1] > 3 \
+        else None
+    return coords, cls
 
 
-def openocc_gt_grid(coords, shape=(512, 512, 40)):
-    """Scatter sparse OpenOccupancy voxel coords into a dense 0/1 grid,
+def openocc_gt_grid(coords, shape=(512, 512, 40), cls=None):
+    """Scatter sparse OpenOccupancy voxel coords into a dense grid,
     including the reference's axis reorder (``eval_iou.py:261-263``:
-    ``gt_occ[:, [1, 2, 0]]`` then used as (dim0, dim1, dim2) indices)."""
+    ``gt_occ[:, [1, 2, 0]]`` then used as (dim0, dim1, dim2) indices).
+    Binary 0/1 by default; with ``cls`` the per-voxel semantic class is
+    scattered instead (0 stays free)."""
     coords = coords[:, [1, 2, 0]]
     gt = np.zeros(shape, dtype=np.int32)
     valid = np.all((coords >= 0) & (coords < np.asarray(shape)), axis=1)
     c = coords[valid]
-    gt[c[:, 0], c[:, 1], c[:, 2]] = 1
+    gt[c[:, 0], c[:, 1], c[:, 2]] = 1 if cls is None else cls[valid]
     return gt
 
 
@@ -262,21 +273,32 @@ def main():
                     f"OpenOccupancy eval needs a {oshape} prediction grid "
                     f"(got {pred_occ_iou.shape}); use --resolution 0.2 with "
                     f"the matching --scene-size AABB (or --openocc-grid)")
-            gt_occ_iou = openocc_gt_grid(
-                read_openoccupancy_label(item["openocc_label_path"]),
-                shape=oshape)
+            coords, gt_cls = read_openoccupancy_label(
+                item["openocc_label_path"])
+            gt_occ_iou = openocc_gt_grid(coords, shape=oshape)
             iou_metric._after_step(pred_occ_iou, gt_occ_iou, None)
             pred_occ_miou = None
             if miou_metric is not None:
-                # the reference's OpenOccupancy sem scoring compares dense
-                # predictions against raw (n,3) coordinates
-                # (eval_iou.py:266-270) — broken upstream; predictions are
-                # still produced (for --save-sem) but not scored.
                 sem = sem_remap(np.asarray(out["sem"]))
                 pred_occ_miou = pred_occ_iou * sem
-                logger.warning("OpenOccupancy semantic mIoU is not scored "
-                               "(reference path is inconsistent); binary "
-                               "IoU only")
+                if gt_cls is not None:
+                    # the reference's sem scoring here is broken upstream:
+                    # it drops the label column at read time (eval_iou.py:
+                    # 41 `label[:, :3]`) then passes the raw (n,3)
+                    # COORDINATES as mIoU targets (:266-270) — coordinate
+                    # values counted as classes. We score the well-defined
+                    # dense comparison it was aiming for: scatter the
+                    # per-voxel classes into the fixed label frame and
+                    # compare like the Occ3D path.
+                    gt_occ_miou = openocc_gt_grid(coords, shape=oshape,
+                                                  cls=gt_cls)
+                    miou_metric._after_step(pred_occ_miou, gt_occ_miou,
+                                            None)
+                else:
+                    logger.warning(
+                        "OpenOccupancy label file has no class column; "
+                        "binary IoU only (sem predictions still saved "
+                        "with --save-sem)")
         elif hasattr(ds, "gt_occupancy"):
             occ = (sdf >= args.thresh) if args.density \
                 else (sdf <= args.thresh)

@@ -206,6 +206,43 @@ def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):
                         "--resolution", "1.0"], monkeypatch)
 
 
+def test_eval_iou_openoccupancy_sem_miou(workdir, monkeypatch, tmp_path):
+    """4-column OpenOccupancy labels score semantic mIoU against the class
+    column scattered into the fixed frame (our fix of the reference's
+    broken coordinates-as-labels sem path, eval_iou.py:41,266-270)."""
+    import numpy as np
+    import eval_iou
+    import train as train_mod
+
+    label = np.stack([np.random.randint(0, 8, 40),
+                      np.random.randint(0, 102, 40),
+                      np.random.randint(0, 102, 40),
+                      np.random.randint(1, 17, 40)], 1).astype(np.int64)
+    path = str(tmp_path / "occupancy_sem.npy")
+    np.save(path, label)
+
+    real_loader = train_mod.get_dataloader
+
+    class _Inject:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            item = dict(self.ds[i])
+            item["openocc_label_path"] = path
+            return item
+
+    monkeypatch.setattr(train_mod, "get_dataloader",
+                        lambda cfg, syn, phase="train": _Inject(real_loader(cfg, syn, phase)))
+    _run(eval_iou, ["--py-config", "tiny", "--work-dir", workdir,
+                    "--synthetic", "--num-samples", "1",
+                    "--resolution", "1.0", "--sem",
+                    "--openocc-grid", "102", "102", "8"], monkeypatch)
+
+
 def test_eval_iou_density_nerfacc(workdir, monkeypatch):
     """NeRFAccHead density pipeline through eval_iou --density (reference
     nerfacc_head.py density field; VERDICT r1 item 9 wiring)."""
