@@ -3,14 +3,21 @@
 The reference runs OpenSeeD (Swin-T, detectron2 stack) online as a frozen
 teacher producing 21-class maps remapped to the 17 nuScenes classes
 (``utils/openseed_utils.py:12-62``, ``train.py:98-100,213-215``). That stack
-is CUDA/detectron2-bound; the TPU-native integration is **offline
-precompute** (the reference's own KITTI path already consumes precomputed
-maps, ``kitti_dataset_one_frame.py:318-323``):
+lives in an un-vendored external repo; two TPU-native integrations exist:
 
-  1. Run ``tools/precompute_openseed.py`` (torch, anywhere with a GPU) over
-     the dataset images -> per-image ``.npy`` label maps.
-  2. Point ``sem_dir`` here; the loader streams the maps and applies the
+  1. **Offline precompute** (the reference's own KITTI path already
+     consumes precomputed maps, ``kitti_dataset_one_frame.py:318-323``):
+     ``tools/precompute_openseed.py`` (torch+GPU, off-host) -> per-image
+     ``.npy`` label maps; ``SemTeacher`` streams them with the
      openseed->nuscenes LUT (``metric_util.py:36-64``).
+  2. **In-JAX teacher** (``JaxSemTeacher``): flax Swin + UperNet
+     (``models/swin.py`` / ``models/upernet.py``, golden-tested vs the HF
+     torch implementations), weight-importable from any HF Swin-UperNet
+     checkpoint (``utils/swin_import.py``). Runs ON the TPU —
+     ``tools/precompute_sem_jax.py`` precomputes maps in-sandbox, with no
+     external GPU dependency. OpenSeeD's exact mask-DINO decoder + language
+     encoder remain external; class alignment comes from the checkpoint's
+     label space (pass ``lut`` accordingly).
 
 ``SemTeacher`` is the runtime interface; ``load_sem_map`` gracefully returns
 None when maps are absent so training falls back to photometric-only
@@ -60,3 +67,65 @@ class SemTeacher:
         if any(m is None for m in maps):
             return None
         return np.stack(maps)
+
+
+class JaxSemTeacher:
+    """In-JAX frozen semantic teacher (Swin + UperNet) mirroring the
+    reference's ``forward_openseed_model`` contract
+    (``utils/openseed_utils.py:55-62``): resize the batch to height 512
+    (aspect preserved), forward, upsample logits to the requested size,
+    argmax -> per-pixel class map.
+
+    Deviation (documented): the reference resizes bicubic
+    ``align_corners=True``; ``jax.image.resize`` is half-pixel cubic (the
+    ``align_corners=False`` analog). The teacher is a label source, not a
+    parity surface, so half-pixel is kept.
+    """
+
+    IMAGENET_MEAN = (123.675, 116.28, 103.53)
+    IMAGENET_STD = (58.395, 57.12, 57.375)
+
+    def __init__(self, variables, num_classes: int = 21, swin_cfg=None,
+                 channels: int = 512, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        import jax
+        import jax.numpy as jnp
+        from ..models.swin import SwinConfig
+        from ..models.upernet import SwinUperNet
+
+        self.model = SwinUperNet(num_classes=num_classes,
+                                 swin=swin_cfg or SwinConfig(),
+                                 channels=channels)
+        self.variables = variables
+        mean = jnp.asarray(mean, jnp.float32)
+        std = jnp.asarray(std, jnp.float32)
+
+        def _forward(v, imgs, out_hw):
+            # imgs: (B, H, W, 3) RGB in [0, 255]
+            b, h, w, _ = imgs.shape
+            rh, rw = 512, int(round(512 * w / h))
+            x = jax.image.resize(imgs.astype(jnp.float32), (b, rh, rw, 3),
+                                 method="cubic")
+            x = (x - mean) / std
+            logits = self.model.apply(v, x)
+            logits = jax.image.resize(
+                logits, (b,) + tuple(out_hw) + (logits.shape[-1],),
+                method="linear")
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        self._forward = jax.jit(_forward, static_argnums=(2,))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw):
+        from .swin_import import load_teacher_checkpoint
+        variables = load_teacher_checkpoint(path)
+        n = variables["params"]["decode_head"]["classifier"]["bias"].shape[0]
+        ch = variables["params"]["decode_head"]["classifier"]["kernel"].shape[2]
+        kw.setdefault("num_classes", n)
+        kw.setdefault("channels", ch)
+        return cls(variables, **kw)
+
+    def __call__(self, imgs, size=None) -> np.ndarray:
+        """imgs: (B, H, W, 3) uint8/float RGB -> (B, *size) uint8 maps."""
+        imgs = np.asarray(imgs)
+        size = tuple(size) if size is not None else imgs.shape[1:3]
+        return np.asarray(self._forward(self.variables, imgs, size))
