@@ -121,6 +121,10 @@ class ModelConfig:
     neck_type: str = "fpn"
     img_backbone_out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     fpn_in_channels: Tuple[int, ...] = (256, 512, 1024, 2048)
+    # UNet2D encoder (width, depth) EfficientNet coefficients; the
+    # reference wraps tf_efficientnet_b7 => (2.0, 3.1)
+    # (model/backbone/unet2d.py:166-168)
+    unet_scaling: Tuple[float, float] = (2.0, 3.1)
     embed_dims: int = 96
     freeze_img_backbone: bool = False
     freeze_img_neck: bool = False

@@ -33,9 +33,14 @@ class TPVSegmentor(nn.Module):
             self.img_backbone = TinyBackbone(
                 channels=tuple(c.fpn_in_channels), name="img_backbone")
         elif c.backbone_type == "unet2d":
+            from .efficientnet import EfficientNetConfig
             from .unet2d import UNet2D
-            self.img_backbone = UNet2D(out_feature=c.fpn_in_channels[0],
-                                       name="img_backbone")
+            self.img_backbone = UNet2D(
+                out_feature=c.fpn_in_channels[0],
+                encoder_cfg=EfficientNetConfig(
+                    width_coefficient=c.unet_scaling[0],
+                    depth_coefficient=c.unet_scaling[1]),
+                name="img_backbone")
         else:
             self.img_backbone = ResNet50(dtype=c.compute_dtype,
                                          name="img_backbone")

@@ -161,6 +161,9 @@ def install_shims():
     mmcv.utils = _module("mmcv.utils", IS_CUDA_AVAILABLE=False,
                          IS_MLU_AVAILABLE=False)
 
+    mmseg = _module("mmseg", _selfocc_shim=True)
+    mmseg.registry = _module("mmseg.registry", MODELS=MODELS)
+
     # the reference's own utils package (tb writer singleton) — stub it so
     # `from utils.tb_wrapper import WrappedTBWriter` never imports
     # tensorboard / never collides with anything local
@@ -179,6 +182,7 @@ def install_shims():
     # machinery finds leaf modules underneath.
     for pkg, rel in [
             ("model", "model"),
+            ("model.backbone", "model/backbone"),
             ("model.head", "model/head"),
             ("model.head.utils", "model/head/utils"),
             ("model.head.nerfacc_head", "model/head/nerfacc_head"),

@@ -127,7 +127,8 @@ def test_identity_neck_with_unet2d():
     backbone emitting embed_dims channels at every level."""
     cfg = tiny_config(
         backbone="unet2d",
-        model_kw=dict(neck_type="identity", fpn_in_channels=(32, 32, 32, 32)))
+        model_kw=dict(neck_type="identity", fpn_in_channels=(32, 32, 32, 32),
+                      unet_scaling=(0.25, 0.35)))
     variables, rep = _forward_rep(cfg)
     assert "img_neck" not in variables["params"]  # no params in a passthrough
     for p in rep:

@@ -130,15 +130,20 @@ def test_bev_variant_forward():
 
 
 def test_unet2d_backbone_pyramid():
+    """Reference output contract: out_feature channels at strides 2/4/8/16
+    (unet2d.py:120-126), EfficientNet encoder underneath."""
+    from selfocc_tpu.models.efficientnet import EfficientNetConfig
     from selfocc_tpu.models.unet2d import UNet2D
-    m = UNet2D(out_feature=32)
+    m = UNet2D(out_feature=32,
+               encoder_cfg=EfficientNetConfig(width_coefficient=0.25,
+                                              depth_coefficient=0.35))
     rng = jax.random.PRNGKey(0)
     x = jax.random.uniform(rng, (2, 64, 96, 3))
     variables = jax.jit(lambda: m.init(rng, x))()
     outs, _ = jax.jit(lambda v: m.apply(v, x, train=True,
                                         mutable=['batch_stats']))(variables)
     assert [o.shape for o in outs] == [
-        (2, 16, 24, 32), (2, 8, 12, 32), (2, 4, 6, 32), (2, 2, 3, 32)]
+        (2, 32, 48, 32), (2, 16, 24, 32), (2, 8, 12, 32), (2, 4, 6, 32)]
 
 
 def test_bf16_compute_dtype_forward():
