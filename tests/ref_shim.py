@@ -135,7 +135,13 @@ def install_shims():
                           MODELS=MODELS)
     mm.model = _module("mmengine.model", BaseModule=BaseModule,
                        xavier_init=xavier_init, constant_init=constant_init)
-    mm.utils = _module("mmengine.utils", ManagerMixin=ManagerMixin)
+    def deprecated_api_warning(name_dict, cls_name=None):
+        def deco(fn):
+            return fn
+        return deco
+
+    mm.utils = _module("mmengine.utils", ManagerMixin=ManagerMixin,
+                       deprecated_api_warning=deprecated_api_warning)
     mm.logging = _module("mmengine.logging", MMLogger=types.SimpleNamespace(
         get_current_instance=lambda: None))
 
@@ -146,6 +152,33 @@ def install_shims():
             return multi_scale_deformable_attn_pytorch(
                 value, spatial_shapes, sampling_locations, attention_weights)
 
+    class MultiScaleDeformableAttention(BaseModule):
+        """mmcv's MSDA MODULE (weight container + init only — the
+        reference's CrossViewHybridAttention subclasses it and overrides
+        forward, so the logic under test stays the reference's own code).
+        Layer layout mirrors mmcv.ops.multi_scale_deform_attn
+        (the same layout utils/ref_import.py maps checkpoints from)."""
+
+        def __init__(self, embed_dims=256, num_heads=8, num_levels=4,
+                     num_points=4, im2col_step=64, dropout=0.1,
+                     batch_first=False, norm_cfg=None, init_cfg=None,
+                     value_proj_ratio=1.0):
+            super().__init__(init_cfg)
+            self.embed_dims = embed_dims
+            self.num_heads = num_heads
+            self.num_levels = num_levels
+            self.num_points = num_points
+            self.im2col_step = im2col_step
+            self.batch_first = batch_first
+            self.dropout = nn.Dropout(dropout)
+            self.sampling_offsets = nn.Linear(
+                embed_dims, num_heads * num_levels * num_points * 2)
+            self.attention_weights = nn.Linear(
+                embed_dims, num_heads * num_levels * num_points)
+            vdim = int(embed_dims * value_proj_ratio)
+            self.value_proj = nn.Linear(embed_dims, vdim)
+            self.output_proj = nn.Linear(vdim, embed_dims)
+
     mmcv = _module("mmcv", _selfocc_shim=True)
     mmcv.cnn = _module("mmcv.cnn")
     mmcv.cnn.bricks = _module("mmcv.cnn.bricks")
@@ -155,6 +188,7 @@ def install_shims():
     mmcv.ops = _module("mmcv.ops")
     mmcv.ops.multi_scale_deform_attn = _module(
         "mmcv.ops.multi_scale_deform_attn",
+        MultiScaleDeformableAttention=MultiScaleDeformableAttention,
         MultiScaleDeformableAttnFunction=MultiScaleDeformableAttnFunction,
         multi_scale_deformable_attn_pytorch=(
             multi_scale_deformable_attn_pytorch))
