@@ -476,3 +476,22 @@ def test_geo_only_density_head_matches_full():
         np.testing.assert_array_equal(np.asarray(full[k]), np.asarray(geo[k]),
                                       err_msg=k)
     assert "sem" in full and "sem" not in geo
+
+
+def test_encoder_model_config_no_dead_fields():
+    """Every EncoderConfig / ModelConfig field is read somewhere in the
+    module tree or train harness — extends the HeadConfig dead-knob gate
+    (VERDICT r2 #7) to the full config surface."""
+    import dataclasses as dc
+    import inspect
+    import re
+    from selfocc_tpu.configs.base import EncoderConfig, ModelConfig
+    from selfocc_tpu.models import segmentor as seg_mod, encoder as enc_mod
+    from selfocc_tpu.utils import train_lib, eval_lib
+
+    src = (inspect.getsource(seg_mod) + inspect.getsource(enc_mod)
+           + inspect.getsource(train_lib) + inspect.getsource(eval_lib))
+    for klass in (EncoderConfig, ModelConfig):
+        for f in dc.fields(klass):
+            assert re.search(rf"\.{f.name}\b", src), \
+                f"{klass.__name__}.{f.name} declared but never read"
