@@ -133,3 +133,35 @@ def test_cross_view_hybrid_attention_golden():
                      jnp.asarray(qpos), jnp.asarray(refpts[0]), shapes)
     assert got.shape == ref_out.shape
     np.testing.assert_allclose(np.asarray(got), ref_out.numpy(), atol=3e-5)
+
+
+def test_point_sampling_golden():
+    """geometry.projection.point_sampling == the reference's fp32
+    point_sampling (bevformer/utils.py:116-206) incl. the focal-ratio
+    post-scale and visibility mask semantics."""
+    m = ref_shim.load_ref("model.encoder.bevformer.utils")
+    rng = np.random.RandomState(3)
+    P, Q, B, N = 4, 10, 1, 3
+    pts = rng.randn(P, Q, 3).astype(np.float32) * 20
+    l2i = rng.randn(B, N, 4, 4).astype(np.float32)
+    img_shape = (32, 48)
+    fx = rng.rand(N).astype(np.float32) + 0.5
+    fy = rng.rand(N).astype(np.float32) + 0.5
+
+    metas = [{"lidar2img": l2i[0], "img_shape": img_shape,
+              "focal_ratios_x": fx, "focal_ratios_y": fy}]
+    with torch.no_grad():
+        ref_cam, ref_mask = m.point_sampling(
+            torch.from_numpy(pts[None]), metas)   # (B, P, Q, 3) -> perm
+
+    from selfocc_tpu.geometry.projection import point_sampling
+    got_cam, got_mask = point_sampling(jnp.asarray(pts), jnp.asarray(l2i),
+                                       img_shape, jnp.asarray(fx),
+                                       jnp.asarray(fy))
+    # reference layout (N, B, Q, D, 2) matches ours
+    # behind-camera rays produce huge normalized coords (they are masked);
+    # compare with rtol so fp32 rounding on those magnitudes doesn't trip
+    np.testing.assert_allclose(np.asarray(got_cam), ref_cam.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  ref_mask.numpy().astype(bool))
