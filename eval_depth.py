@@ -30,6 +30,10 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
     ap.add_argument("--no-shard", action="store_true")
+    ap.add_argument("--prepare-shard", action="store_true",
+                    help="also shard the PREPARE (backbone/encoder/decode) "
+                         "over the camera axis of the mesh — exact numerics "
+                         "(tests/test_eval_lib_shard.py)")
     ap.add_argument("--flip", action="store_true",
                     help="flip test-time augmentation: average depth with a "
                          "horizontally-flipped second pass (reference "
@@ -67,7 +71,8 @@ def main():
 
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
                                shard=not args.no_shard,
-                               outputs=("depth",))
+                               outputs=("depth",),
+                               prepare_shard=args.prepare_shard)
     rays = eval_ray_grid(cfg)
     rh, rw = cfg.eval_num_rays
     cam_names = [f"cam{i}" for i in range(cfg.num_cams)]

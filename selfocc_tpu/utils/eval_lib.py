@@ -90,10 +90,18 @@ class ChunkedRenderer:
 
     def __init__(self, model, variables, chunk: int = 32768,
                  shard: bool = True, volume_dtype: str = "bfloat16",
-                 outputs=("depth", "rgb", "acc", "sem")):
+                 outputs=("depth", "rgb", "acc", "sem"),
+                 prepare_shard: bool = False):
         self.model = model
         self.variables = variables
         self.chunk = chunk
+        # camera-axis model parallelism for prepare (backbone/neck/encoder
+        # value computation are per-camera; GSPMD shards them and inserts
+        # the all-gathers the cross-attention needs). Off by default: exact
+        # numerics but only profitable when prepare dominates and cameras
+        # divide the mesh; bit-equality vs unsharded is tested on the CPU
+        # mesh (tests/test_eval_lib_shard.py).
+        self.prepare_shard = prepare_shard and len(jax.devices()) > 1
         # the render is HBM-gather-bound; bf16 volumes triple throughput
         # (alpha/compositing math stays fp32 — see ops/interp.py)
         self.volume_dtype = volume_dtype
@@ -139,16 +147,33 @@ class ChunkedRenderer:
         key = intrinsic is not None
         if key not in self._prepare_fns:
             dt = jnp.dtype(self.volume_dtype)
+            shard_kw = {}
+            if self.prepare_shard:
+                from ..parallel.mesh import make_mesh
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                # imgs (B, N_cam, H, W, 3): shard the camera axis over the
+                # largest submesh that divides it (pjit needs divisibility);
+                # the decoded volume comes back replicated for the
+                # ray-sharded render
+                n_cam = int(imgs.shape[1])
+                n_dev = len(jax.devices())
+                n = max(k for k in range(1, n_dev + 1) if n_cam % k == 0)
+                mesh = make_mesh(jax.devices()[:n])
+                cam_sh = NamedSharding(mesh, P(None, "data"))
+                rep = NamedSharding(mesh, P())
+                shard_kw = dict(
+                    in_shardings=((rep,) + (cam_sh, rep) + (rep, rep) * key),
+                    out_shardings=rep)
             if key:
                 # CameraAwareSE configs need the camera params in prepare
                 self._prepare_fns[key] = jax.jit(
                     lambda v, i, l, K, c2e: self.model.apply(
                         v, i, l, intrinsic=K, cam2ego=c2e,
-                        method="prepare").astype(dt))
+                        method="prepare").astype(dt), **shard_kw)
             else:
                 self._prepare_fns[key] = jax.jit(
                     lambda v, i, l: self.model.apply(
-                        v, i, l, method="prepare").astype(dt))
+                        v, i, l, method="prepare").astype(dt), **shard_kw)
         if key:
             return self._prepare_fns[key](self.variables, imgs, lidar2img,
                                           intrinsic, cam2ego)
