@@ -415,7 +415,12 @@ class TPVFormerLayer(nn.Module):
     @nn.compact
     def __call__(self, carry, value, tpv_pos, cross_view_ref, ref_cams_list,
                  masks_list):
-        planes = list(carry)
+        from ..parallel.mesh import maybe_shard
+        # model-parallel hint (no-op outside a "model" mesh): shard the TPV
+        # query axis — GSPMD then partitions every per-query tensor in the
+        # layer, incl. the deformable backward's gather transients that set
+        # the dense flagship's 72 GB single-chip peak (docs/PERFORMANCE.md)
+        planes = [maybe_shard(p, None, "model", None) for p in carry]
         img_spatial_shapes = tuple(self.img_spatial_shapes)
         deterministic = self.deterministic
         H, W, D = self.tpv_size

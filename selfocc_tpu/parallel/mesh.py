@@ -47,3 +47,31 @@ def pad_to_multiple(x, multiple: int, axis: int = 0):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths), n
+
+
+MODEL_AXIS = "model"
+
+
+def make_model_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh named for model parallelism: the encoder's TPV-query axis
+    (and anything XLA propagates it to) shards over this axis — the path to
+    running the reference-exact DENSE flagship train step, whose per-head
+    deformable backward needs ~72 GB on one chip (docs/PERFORMANCE.md), on
+    a pod slice."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (MODEL_AXIS,))
+
+
+def maybe_shard(x, *spec):
+    """GSPMD sharding hint, applied only when tracing under a mesh that
+    carries the model axis (``jax.sharding.use_mesh(make_model_mesh())``)
+    — a no-op on single-device or DP-only runs, so modules can hint
+    unconditionally."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+    except AttributeError:          # older jax
+        return x
+    if mesh is None or MODEL_AXIS not in getattr(mesh, "axis_names", ()):
+        return x
+    return jax.lax.with_sharding_constraint(x, P(*spec))

@@ -171,6 +171,34 @@ def make_train_step(model, cfg: Config):
     return step
 
 
+def make_mp_train_step(model, cfg: Config, mesh):
+    """MODEL-parallel train step: ONE bs=1 sample, params replicated, the
+    encoder's TPV-query axis sharded over ``mesh`` (``parallel.mesh.
+    maybe_shard`` hints + GSPMD propagation). Numerically identical to the
+    single-chip step (gradient-parity-checked in dryrun_multichip); memory
+    scales down with the mesh — the route to the reference-exact DENSE
+    flagship step (72 GB single-chip) on a v5e slice."""
+    compute = make_loss_fn(model, cfg)
+
+    def step(state: TrainState, batch, rng):
+        (tot, (ldict, new_bs)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params, state.batch_stats,
+                                   state.consts, batch, rng, state.step)
+        state = state.apply_gradients(grads).replace(batch_stats=new_bs)
+        metrics = dict(ldict, total=tot,
+                       grad_norm=optax.global_norm(grads))
+        return state, metrics
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, batch, rng):
+        # the mesh context must be live at trace AND dispatch time for the
+        # in-model maybe_shard hints to resolve the "model" axis
+        with jax.sharding.set_mesh(mesh):
+            return jstep(state, batch, rng)
+    return run
+
+
 def make_dp_train_step(model, cfg: Config, mesh):
     """Data-parallel train step over ``mesh``: each device consumes one bs=1
     sample (the reference's DP regime: 1 sample/GPU, ``train.py:175-176``);

@@ -182,3 +182,24 @@ def test_freeze_backbone_neck():
     rest_a = {k: v for k, v in state.params.items()
               if k not in ('img_backbone', 'img_neck')}
     assert diff(rest_b, rest_a) > 0.0
+
+
+def test_mp_train_step_matches_single(tiny_setup):
+    """Model-parallel step (TPV-query axis sharded over the 8-device mesh)
+    computes the SAME update as the single-device step — GSPMD only changes
+    placement, never numerics."""
+    from selfocc_tpu.parallel.mesh import make_model_mesh
+    from selfocc_tpu.utils.train_lib import make_mp_train_step
+    cfg, model, batch, state = tiny_setup
+    mp_step = make_mp_train_step(model, cfg, make_model_mesh())
+    rng = jax.random.PRNGKey(2)
+    s_mp, m_mp = mp_step(_copy_state(state), batch, rng)
+    single = make_train_step(model, cfg)
+    s1, m1 = single(_copy_state(state), batch, rng)
+    assert np.isfinite(float(m_mp["total"]))
+    np.testing.assert_allclose(float(m_mp["total"]), float(m1["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_mp.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)

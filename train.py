@@ -41,6 +41,11 @@ def parse_args():
                          "analog; see ModelConfig.compute_dtype)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--mp", action="store_true",
+                    help="MODEL-parallel over all local devices: one bs=1 "
+                         "sample, the encoder's TPV-query axis sharded "
+                         "(exact numerics; the dense flagship's 72 GB "
+                         "single-chip step divided across the mesh)")
     ap.add_argument("--profile", action="store_true",
                     help="capture a jax.profiler trace of steps 5-10 into "
                          "<work-dir>/profile (SURVEY §5.1: the reference has "
@@ -191,6 +196,11 @@ def main():
         mesh = make_mesh()
         step_fn = make_dp_train_step(model, cfg, mesh)
         logger.info(f"data-parallel over {n_dev} devices")
+    elif args.mp and n_dev > 1:
+        from selfocc_tpu.parallel.mesh import make_model_mesh
+        from selfocc_tpu.utils.train_lib import make_mp_train_step
+        step_fn = make_mp_train_step(model, cfg, make_model_mesh())
+        logger.info(f"model-parallel (TPV-query axis) over {n_dev} devices")
     else:
         step_fn = make_train_step(model, cfg)
 
