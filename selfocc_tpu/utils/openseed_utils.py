@@ -118,10 +118,31 @@ class JaxSemTeacher:
     def from_checkpoint(cls, path: str, **kw):
         from .swin_import import load_teacher_checkpoint
         variables = load_teacher_checkpoint(path)
-        n = variables["params"]["decode_head"]["classifier"]["bias"].shape[0]
-        ch = variables["params"]["decode_head"]["classifier"]["kernel"].shape[2]
-        kw.setdefault("num_classes", n)
-        kw.setdefault("channels", ch)
+        head = variables["params"]["decode_head"]
+        kw.setdefault("num_classes", head["classifier"]["bias"].shape[0])
+        kw.setdefault("channels", head["classifier"]["kernel"].shape[2])
+        if "swin_cfg" not in kw or kw["swin_cfg"] is None:
+            # infer the Swin architecture from the parameter shapes
+            import re
+            from ..models.swin import SwinConfig
+            bb = variables["params"]["backbone"]
+            stages = {}
+            for k in bb:
+                m = re.match(r"stage(\d+)_block(\d+)$", k)
+                if m:
+                    i, j = int(m.group(1)), int(m.group(2))
+                    stages[i] = max(stages.get(i, 0), j + 1)
+            depths = tuple(stages[i] for i in sorted(stages))
+            heads, window = [], None
+            for i in sorted(stages):
+                t = bb[f"stage{i}_block0"]["attn"][
+                    "relative_position_bias_table"]
+                heads.append(int(t.shape[1]))
+                window = (int(round(t.shape[0] ** 0.5)) + 1) // 2
+            kw["swin_cfg"] = SwinConfig(
+                patch_size=bb["patch_embed"]["kernel"].shape[0],
+                embed_dim=int(bb["patch_embed"]["kernel"].shape[3]),
+                depths=depths, num_heads=tuple(heads), window_size=window)
         return cls(variables, **kw)
 
     def __call__(self, imgs, size=None) -> np.ndarray:

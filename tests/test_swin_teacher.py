@@ -182,3 +182,52 @@ def test_jax_sem_teacher_end_to_end(tmp_path):
     st = SemTeacher(str(tmp_path), apply_lut=True)
     loaded = st.load_sem_map("any/dir/cam0.jpg")
     assert loaded is not None and loaded.shape == (48, 80)
+
+
+def test_online_teacher_train_step(tmp_path, monkeypatch):
+    """train.py --teacher-ckpt: the in-JAX teacher produces sem_gt online
+    from curr_imgs (reference train.py:213-215 OpenSeeD-online analog) and
+    one sem-supervised train step completes."""
+    import sys
+    import torch as _torch
+    from transformers import UperNetConfig, UperNetForSemanticSegmentation
+
+    hf = UperNetForSemanticSegmentation(UperNetConfig(
+        backbone_config=_hf_swin_config(), hidden_size=16,
+        use_auxiliary_head=False, num_labels=5)).eval()
+    ckpt = str(tmp_path / "teacher.pt")
+    _torch.save(hf.state_dict(), ckpt)
+
+    # from_checkpoint must infer the small Swin architecture
+    from selfocc_tpu.utils.openseed_utils import JaxSemTeacher
+    t = JaxSemTeacher.from_checkpoint(ckpt)
+    assert t.model.num_classes == 5
+    assert t.model.swin.depths == (2, 2, 2)
+    assert t.model.swin.embed_dim == 24
+
+    import train as train_mod
+    argv = ["train.py", "--py-config", "tiny", "--synthetic",
+            "--max-steps", "1", "--work-dir", str(tmp_path / "wd"),
+            "--print-freq", "1", "--teacher-ckpt", ckpt, "--prefetch", "0"]
+    monkeypatch.setattr(sys, "argv", argv)
+
+    # strip the synthetic dataset's own sem_gt so the ONLINE teacher path
+    # is the one exercised
+    real_loader = train_mod.get_dataloader
+
+    class _NoSem:
+        def __init__(self, ds):
+            self.ds = ds
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            item = dict(self.ds[i])
+            item.pop("sem_gt", None)
+            return item
+
+    monkeypatch.setattr(train_mod, "get_dataloader",
+                        lambda cfg, syn, phase="train":
+                        _NoSem(real_loader(cfg, syn, phase)))
+    train_mod.main()

@@ -41,6 +41,11 @@ def parse_args():
                          "analog; see ModelConfig.compute_dtype)")
     ap.add_argument("--dp", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--teacher-ckpt", default="",
+                    help="HF Swin-UperNet checkpoint for the ONLINE in-JAX "
+                         "semantic teacher (the reference runs OpenSeeD "
+                         "online per step, train.py:213-215); produces "
+                         "sem_gt from curr_imgs when the batch carries none")
     ap.add_argument("--mp", action="store_true",
                     help="MODEL-parallel over all local devices: one bs=1 "
                          "sample, the encoder's TPV-query axis sharded "
@@ -204,6 +209,12 @@ def main():
     else:
         step_fn = make_train_step(model, cfg)
 
+    teacher = None
+    if args.teacher_ckpt:
+        from selfocc_tpu.utils.openseed_utils import JaxSemTeacher
+        teacher = JaxSemTeacher.from_checkpoint(args.teacher_ckpt)
+        logger.info(f"online JAX semantic teacher: {args.teacher_ckpt}")
+
     max_epochs = args.epochs or cfg.max_epochs
     steps_done = 0
     t_data = t_step = 0.0
@@ -255,6 +266,17 @@ def main():
         i = 0
         for g_idx, host_batch in enumerate(batch_iter):
             t0 = time.time()
+            if teacher is not None and cfg.sem and "sem_gt" not in host_batch:
+                # online teacher: reference feeds curr_imgs[0] * 256 at
+                # cfg.img_size (train.py:214)
+                curr = np.asarray(host_batch["curr_imgs"])
+                if use_dp:   # (n_dev, 1, N, H, W, 3)
+                    host_batch["sem_gt"] = np.stack(
+                        [teacher(c[0] * 256.0, size=cfg.img_size)[None]
+                         for c in curr])
+                else:
+                    host_batch["sem_gt"] = teacher(
+                        curr[0] * 256.0, size=cfg.img_size)[None]
             batch = {k: jnp.asarray(v) for k, v in host_batch.items()}
             if use_dp:
                 rngs = jax.random.split(
