@@ -352,7 +352,13 @@ def test_eval_depth_sharded_matches_unsharded(workdir, monkeypatch):
     _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir + "_ns",
                       "--synthetic", "--num-samples", "1", "--batch", "64",
                       "--no-shard", "--save-depth"], monkeypatch)
+    # camera-sharded prepare (model parallelism) — same numbers again
+    _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir + "_ps",
+                      "--synthetic", "--num-samples", "1", "--batch", "64",
+                      "--prepare-shard", "--save-depth"], monkeypatch)
     d_sh = np.load(os.path.join(workdir + "_sh", "depth_0000.npy"))
     d_ns = np.load(os.path.join(workdir + "_ns", "depth_0000.npy"))
+    d_ps = np.load(os.path.join(workdir + "_ps", "depth_0000.npy"))
     assert d_sh.shape == d_ns.shape
     np.testing.assert_allclose(d_sh, d_ns, atol=1e-5)
+    np.testing.assert_allclose(d_ps, d_ns, atol=1e-5)
