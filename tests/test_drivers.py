@@ -362,3 +362,12 @@ def test_eval_depth_sharded_matches_unsharded(workdir, monkeypatch):
     assert d_sh.shape == d_ns.shape
     np.testing.assert_allclose(d_sh, d_ns, atol=1e-5)
     np.testing.assert_allclose(d_ps, d_ns, atol=1e-5)
+
+
+def test_eval_iou_kitti_driver(workdir, monkeypatch):
+    """eval_iou_kitti end-to-end: forward_occ on the fixed front-only KITTI
+    AABB, reference post-crops, IoU + SSCMetrics (synthetic GT fallback)."""
+    import eval_iou_kitti
+    _run(eval_iou_kitti, ["--py-config", "tiny", "--work-dir", workdir,
+                          "--synthetic", "--num-samples", "1",
+                          "--resolution", "1.0"], monkeypatch)
