@@ -142,8 +142,23 @@ def install_shims():
 
     mm.utils = _module("mmengine.utils", ManagerMixin=ManagerMixin,
                        deprecated_api_warning=deprecated_api_warning)
-    mm.logging = _module("mmengine.logging", MMLogger=types.SimpleNamespace(
-        get_current_instance=lambda: None))
+    class _DummyLogger:
+        def info(self, *a, **k):
+            pass
+
+        warning = error = debug = info
+
+    class MMLogger:
+        @staticmethod
+        def get_current_instance():
+            return _DummyLogger()
+
+        @staticmethod
+        def get_instance(name, **kw):
+            return _DummyLogger()
+
+    mm.logging = _module("mmengine.logging", MMLogger=MMLogger)
+    mm.MMLogger = MMLogger
 
     class MultiScaleDeformableAttnFunction:
         @staticmethod
