@@ -231,6 +231,7 @@ def install_shims():
     # machinery finds leaf modules underneath.
     for pkg, rel in [
             ("model", "model"),
+            ("dataset", "dataset"),
             ("model.backbone", "model/backbone"),
             ("model.head", "model/head"),
             ("model.head.utils", "model/head/utils"),

@@ -170,3 +170,49 @@ def test_tpv_positional_encoding_golden():
         r = r.numpy().reshape(-1, 16)
         g = np.asarray(g).reshape(-1, 16)
         np.testing.assert_allclose(g, r, atol=2e-5)
+
+
+def test_img2lidar_golden():
+    """rays_from_img2lidar + apply_novel_view == the reference's
+    Img2LiDAR.forward incl. the novel-view pose offset (img2lidar.py:25-70:
+    yaw-rotate the 3x3 block, then translate the origin)."""
+    import jax.numpy as jnp
+    m = ref_shim.load_ref("model.head.nerfacc_head.img2lidar")
+
+    rng = np.random.RandomState(4)
+    N, R = 3, 11
+    i2l = rng.randn(1, N, 4, 4).astype(np.float32)
+    rays = (rng.rand(R, 2) * 100).astype(np.float32)
+    novel = [1.0, -2.0, 0.5, 30.0]
+
+    ref = m.Img2LiDAR(trans_kw="img2lidar", novel_view=novel)
+    metas = [{"img2lidar": [i2l[0, k].copy() for k in range(N)]}]
+    with torch.no_grad():
+        r_origin, r_dir = ref(metas, torch.from_numpy(rays))
+
+    from selfocc_tpu.geometry.projection import (apply_novel_view,
+                                                 rays_from_img2lidar)
+    moved = apply_novel_view(jnp.asarray(i2l), novel)
+    o, d = rays_from_img2lidar(moved, jnp.asarray(rays))
+    np.testing.assert_allclose(np.asarray(o), r_origin.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), r_dir.numpy(), atol=1e-4)
+
+    # plain path (no novel view)
+    ref2 = m.Img2LiDAR(trans_kw="img2lidar")
+    with torch.no_grad():
+        r_o2, r_d2 = ref2(metas, torch.from_numpy(rays))
+    o2, d2 = rays_from_img2lidar(jnp.asarray(i2l), jnp.asarray(rays))
+    np.testing.assert_allclose(np.asarray(o2), r_o2.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d2), r_d2.numpy(), atol=1e-5)
+
+
+def test_fixed_ray_sampler_golden():
+    """Fixed-mode ray grid == the reference RaySampler buffer
+    (ray_sampler.py:23-31)."""
+    m = ref_shim.load_ref("model.head.nerfacc_head.ray_sampler")
+    ref = m.RaySampler(ray_sample_mode="fixed", ray_number=[6, 10],
+                       ray_img_size=[48, 96])
+    from selfocc_tpu.geometry.ray_sampler import RaySampler
+    ours = RaySampler(ray_sample_mode="fixed", ray_number=(6, 10),
+                      ray_img_size=(48, 96))
+    np.testing.assert_allclose(np.asarray(ours()), ref().numpy(), atol=1e-6)
