@@ -258,7 +258,7 @@ def main():
     _ = np.asarray(render(variables, volume, origin[0], direction[0]))
 
     repeats = []
-    for _ in range(args.repeat):
+    for _ in range(max(1, args.repeat)):
         t0 = time.time()
         out = [render(variables, volume, origin[i], direction[i])
                for i in range(n_chunks)]
@@ -295,8 +295,8 @@ def main():
         # volume over the flagship prepare peak OOMs a 16 GB v5e)
         del variables, volume, origin, direction, out, render
         del lowered, compiled
-        import argparse as _ap
-        fargs = _ap.Namespace(**{**vars(args), "frame": "nuscenes_occ_fast"})
+        fargs = argparse.Namespace(**{**vars(args),
+                                      "frame": "nuscenes_occ_fast"})
         frame = bench_frame(fargs)
         record.update({
             "frame_config": frame["config"],
@@ -310,7 +310,7 @@ def main():
     try:
         # reference-exact semantics (per-head sampling locations; compaction
         # is exact given capacity) — the number the parity story rests on
-        fargs = _ap.Namespace(**{**vars(args),
+        fargs = argparse.Namespace(**{**vars(args),
                                  "frame": "nuscenes_occ_compact"})
         frame = bench_frame(fargs)
         record.update({

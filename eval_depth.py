@@ -91,15 +91,12 @@ def main():
         depth = out["depth"].reshape(cfg.num_cams, rh, rw)
         if args.flip:
             # second pass on mirrored inputs, features un-mirrored by the
-            # backbone's flip path (segmentor.extract_img_feat)
-            if not hasattr(renderer, "_prepare_flip"):
-                import jax as _jax
-                renderer._prepare_flip = _jax.jit(
-                    lambda v, im, l: renderer.model.apply(
-                        v, im, l, flip=True, method="prepare"))
-            vol_f = renderer._prepare_flip(
-                renderer.variables, batch["imgs"][:, :, :, ::-1],
-                batch["lidar2img"])
+            # backbone's flip path (segmentor.extract_img_feat); goes
+            # through renderer.prepare so the volume_dtype cast and shard
+            # settings match the first pass (no mixed-precision averaging,
+            # no second render compile)
+            vol_f = renderer.prepare(batch["imgs"][:, :, :, ::-1],
+                                     batch["lidar2img"], flip=True)
             out_f = renderer.render(vol_f, origin, direction)
             depth_f = out_f["depth"].reshape(cfg.num_cams, rh, rw)
             depth = 0.5 * (depth + depth_f)

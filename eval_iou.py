@@ -275,6 +275,9 @@ def main():
                     f"the matching --scene-size AABB (or --openocc-grid)")
             coords, gt_cls = read_openoccupancy_label(
                 item["openocc_label_path"])
+            # binary grid scattered from coords alone (reference semantics:
+            # every labeled row is occupied, even a hypothetical class-0
+            # row) — deliberately NOT derived from the class grid below
             gt_occ_iou = openocc_gt_grid(coords, shape=oshape)
             iou_metric._after_step(pred_occ_iou, gt_occ_iou, None)
             pred_occ_miou = None

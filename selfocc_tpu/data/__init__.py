@@ -51,7 +51,9 @@ def build_dataset(cfg, phase="train"):
     (``utils/config_tools.py:93-115``)."""
     args = dict(cfg.train_dataset_args if phase == "train"
                 else cfg.val_dataset_args)
-    if phase != "train":
+    if phase == "val":
+        # the novel_eval datasets have their own eval semantics baked in;
+        # the overrides apply to the val-split sweeps datasets only
         args.update(EVAL_OVERRIDES)
     defaults = DEFAULT_PATHS.get(cfg.dataset_type, {})
     data_path = args.pop("data_path", defaults.get("data_path", ""))

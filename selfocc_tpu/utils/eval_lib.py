@@ -139,12 +139,16 @@ class ChunkedRenderer:
 
     def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
                 cam2ego=None):
-        # cache one jit per arity — mixing camera-aware and plain calls on
-        # the same renderer must not collide (the first-call signature would
-        # otherwise be baked in and later calls raise TypeError)
+        """Backbone -> encoder -> decoded volume (cast to volume_dtype).
+
+        One jit per (camera-aware?, flip?, n_cam) signature — mixing call
+        shapes on the same renderer must not collide with a baked first-call
+        signature. ``flip=True`` runs the backbone's mirrored path
+        (flip-TTA, reference eval_depth.py:168-183)."""
         if not hasattr(self, "_prepare_fns"):
             self._prepare_fns = {}
-        key = intrinsic is not None
+        cam_aware = intrinsic is not None
+        key = (cam_aware, bool(flip), int(imgs.shape[1]))
         if key not in self._prepare_fns:
             dt = jnp.dtype(self.volume_dtype)
             shard_kw = {}
@@ -162,19 +166,22 @@ class ChunkedRenderer:
                 cam_sh = NamedSharding(mesh, P(None, "data"))
                 rep = NamedSharding(mesh, P())
                 shard_kw = dict(
-                    in_shardings=((rep,) + (cam_sh, rep) + (rep, rep) * key),
+                    in_shardings=((rep,) + (cam_sh, rep)
+                                  + (rep, rep) * cam_aware),
                     out_shardings=rep)
-            if key:
+            do_flip = bool(flip)
+            if cam_aware:
                 # CameraAwareSE configs need the camera params in prepare
                 self._prepare_fns[key] = jax.jit(
                     lambda v, i, l, K, c2e: self.model.apply(
-                        v, i, l, intrinsic=K, cam2ego=c2e,
+                        v, i, l, flip=do_flip, intrinsic=K, cam2ego=c2e,
                         method="prepare").astype(dt), **shard_kw)
             else:
                 self._prepare_fns[key] = jax.jit(
                     lambda v, i, l: self.model.apply(
-                        v, i, l, method="prepare").astype(dt), **shard_kw)
-        if key:
+                        v, i, l, flip=do_flip,
+                        method="prepare").astype(dt), **shard_kw)
+        if cam_aware:
             return self._prepare_fns[key](self.variables, imgs, lidar2img,
                                           intrinsic, cam2ego)
         return self._prepare_fns[key](self.variables, imgs, lidar2img)

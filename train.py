@@ -270,10 +270,14 @@ def main():
                 # online teacher: reference feeds curr_imgs[0] * 256 at
                 # cfg.img_size (train.py:214)
                 curr = np.asarray(host_batch["curr_imgs"])
-                if use_dp:   # (n_dev, 1, N, H, W, 3)
-                    host_batch["sem_gt"] = np.stack(
-                        [teacher(c[0] * 256.0, size=cfg.img_size)[None]
-                         for c in curr])
+                if use_dp:   # (n_dev, 1, N, H, W, 3): ONE batched teacher
+                    # dispatch over all device sub-batches, not n_dev
+                    # serial forwards
+                    d, _, N = curr.shape[:3]
+                    maps = teacher(curr.reshape((d * N,) + curr.shape[3:])
+                                   * 256.0, size=cfg.img_size)
+                    host_batch["sem_gt"] = maps.reshape(
+                        (d, 1, N) + maps.shape[1:])
                 else:
                     host_batch["sem_gt"] = teacher(
                         curr[0] * 256.0, size=cfg.img_size)[None]
