@@ -50,7 +50,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from selfocc_tpu.ops.interp import bilinear_sample
-    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, eval_ray_grid,
+    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, camera_kwargs,
+                                            eval_ray_grid,
                                             load_model_for_eval,
                                             eval_trans_mats,
                                             rays_for_cams,
@@ -84,7 +85,9 @@ def main():
     total_rays = 0
     for i in range(n):
         batch = as_arrays(ds[i])
-        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        cam_kw = camera_kwargs(cfg, batch)
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"],
+                                  **cam_kw)
         origin, direction = rays_for_cams(eval_trans_mats(batch, cfg), rays)
         out = renderer.render(volume, origin, direction)
         total_rays += origin.shape[0]
@@ -95,8 +98,11 @@ def main():
             # through renderer.prepare so the volume_dtype cast and shard
             # settings match the first pass (no mixed-precision averaging,
             # no second render compile)
+            # camera params stay un-mirrored: prepare(flip=True) un-mirrors
+            # the features before the encoder, so SE conditioning sees the
+            # original camera geometry
             vol_f = renderer.prepare(batch["imgs"][:, :, :, ::-1],
-                                     batch["lidar2img"], flip=True)
+                                     batch["lidar2img"], flip=True, **cam_kw)
             out_f = renderer.render(vol_f, origin, direction)
             depth_f = out_f["depth"].reshape(cfg.num_cams, rh, rw)
             depth = 0.5 * (depth + depth_f)

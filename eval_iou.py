@@ -180,7 +180,8 @@ def main():
     args = parse_args()
     import jax
     import jax.numpy as jnp
-    from selfocc_tpu.utils.eval_lib import (load_model_for_eval,
+    from selfocc_tpu.utils.eval_lib import (camera_kwargs,
+                                            load_model_for_eval,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
     from selfocc_tpu.utils.metrics import IoU, MeanIoU, openseed2nuscenes
@@ -201,9 +202,9 @@ def main():
     else:
         pcr = list(OPENOCC_PCR)
         expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
-    occ_fn = jax.jit(lambda v, i, l: model.apply(
+    occ_fn = jax.jit(lambda v, i, l, **ck: model.apply(
         v, i, l, aabb=tuple(pcr), resolution=args.resolution,
-        method="forward_occ"))
+        method="forward_occ", **ck))
 
     # both metrics are MeanIoU instances, dataset_empty_label=0
     # (reference eval_iou.py:138-149)
@@ -225,7 +226,8 @@ def main():
         item = ds[i]
         batch = {k: jnp.asarray(v) for k, v in item.items()
                  if not isinstance(v, (str, dict))}
-        out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
+        out = occ_fn(variables, batch["imgs"], batch["lidar2img"],
+                     **camera_kwargs(cfg, batch))
         sdf = np.asarray(out["sdf"])
 
         occ3d_targets = None

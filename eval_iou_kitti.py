@@ -40,7 +40,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from selfocc_tpu.data.semantic_kitti_io import read_semantic_kitti_voxels
-    from selfocc_tpu.utils.eval_lib import (load_model_for_eval,
+    from selfocc_tpu.utils.eval_lib import (camera_kwargs,
+                                            load_model_for_eval,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
     from selfocc_tpu.utils.metrics import (IoU, MeanIoU,
@@ -58,9 +59,9 @@ def main():
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
 
-    occ_fn = jax.jit(lambda v, i, l: model.apply(
+    occ_fn = jax.jit(lambda v, i, l, **ck: model.apply(
         v, i, l, aabb=KITTI_AABB, resolution=args.resolution,
-        method="forward_occ"))
+        method="forward_occ", **ck))
 
     iou_metric = IoU()
     scenerf_metric = SSCMetrics(n_classes=20)
@@ -72,7 +73,8 @@ def main():
     n = min(n, len(ds))
     for i in range(n):
         batch = as_arrays(ds[i])
-        out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
+        out = occ_fn(variables, batch["imgs"], batch["lidar2img"],
+                     **camera_kwargs(cfg, batch))
         pred_occ = (np.asarray(out["sdf"]) <= args.thresh).astype(np.int32)
 
         # reference post-crop (eval_iou_kitti.py:180-190)

@@ -59,9 +59,15 @@ class nuScenes_One_Frame_Eval:
         lidar2ego[:3, 3] = np.asarray(info["lidar2ego_translation"]).T
         ego2lidar = np.linalg.inv(lidar2ego)
 
-        paths, l2i, i2l, intr = [], [], [], []
+        paths, l2i, i2l, intr, c2e = [], [], [], [], []
         for cam_info in info["cams"].values():
             paths.append(cam_info["data_path"])
+            # cam2ego for CameraAwareSE conditioning (camera_kwargs)
+            s2e = np.eye(4)
+            s2e[:3, :3] = quaternion_to_rotmat(
+                cam_info["sensor2ego_rotation"])
+            s2e[:3, 3] = np.asarray(cam_info["sensor2ego_translation"]).T
+            c2e.append(s2e)
             lidar2cam_r = np.linalg.inv(cam_info["sensor2lidar_rotation"])
             lidar2cam_t = cam_info["sensor2lidar_translation"] @ lidar2cam_r.T
             rt = np.eye(4)
@@ -76,7 +82,7 @@ class nuScenes_One_Frame_Eval:
             intr.append(viewpad)
         return dict(img_filename=paths, lidar2img=np.asarray(l2i),
                     img2lidar=np.asarray(i2l), cam_intrinsic=np.asarray(intr),
-                    ego2lidar=ego2lidar)
+                    cam2ego=np.asarray(c2e), ego2lidar=ego2lidar)
 
     def get_data_info_temporal(self, info, info_tem):
         """reference ``:163-209``."""
@@ -126,7 +132,8 @@ class nuScenes_One_Frame_Eval:
             "img2lidar": imgs_info["img2lidar"],
             "ego2lidar": imgs_info["ego2lidar"],
             "token": info["token"], "timestamp": info["timestamp"],
-            "intrinsic": imgs_info["cam_intrinsic"]}
+            "intrinsic": imgs_info["cam_intrinsic"],
+            "cam2ego": imgs_info["cam2ego"]}
 
         anchor_imgs, locs, gts, masks, temImg2lidars = [], [], [], [], []
         frame_dists = list(info["prev_dists"]) + list(info["next_dists"])

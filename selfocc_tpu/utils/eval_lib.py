@@ -84,6 +84,31 @@ def restore_eval_variables(model, cfg, sample, ckpt_path: str, seed=42,
     return variables
 
 
+def camera_kwargs(cfg: Config, batch: Dict) -> Dict:
+    """``intrinsic``/``cam2ego`` kwargs for CameraAwareSE configs.
+
+    Returns {} unless ``cfg.model.encoder.camera_aware``; then the batch (or
+    metas dict) MUST carry both params — the reference encoder consumes
+    ``metas['intrinsic']/['cam2ego']`` unconditionally when camera-aware
+    (``tpvformer_encoder.py:106-116``), and every eval/vis driver threads
+    them through prepare/forward_occ via this helper."""
+    if not cfg.model.encoder.camera_aware:
+        return {}
+    missing = [k for k in ("intrinsic", "cam2ego") if k not in batch]
+    if missing:
+        raise KeyError(
+            f"camera_aware=True but the dataset item carries no {missing}; "
+            "camera-aware eval needs intrinsic+cam2ego in the batch/metas "
+            "(data/wrapper.py forwards them when the dataset provides them)")
+    K = jnp.asarray(batch["intrinsic"], jnp.float32)
+    c2e = jnp.asarray(batch["cam2ego"], jnp.float32)
+    # drivers pass either batched (B, N, 4, 4) wrapper arrays or raw
+    # per-frame (N, 4, 4) metas — normalize to batched
+    if K.ndim == 3:
+        K, c2e = K[None], c2e[None]
+    return {"intrinsic": K, "cam2ego": c2e}
+
+
 class ChunkedRenderer:
     """Renders a full fixed ray grid in jitted chunks against a prepared
     volume; optionally shards each chunk's ray axis over all devices."""
@@ -307,7 +332,8 @@ def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
             input_imgs, _, metas = ds[i]
             imgs = prep_input_imgs(input_imgs, cfg)
             lidar2img = jnp.asarray(metas["lidar2img"], jnp.float32)[None]
-            volume = renderer.prepare(imgs, lidar2img)
+            volume = renderer.prepare(imgs, lidar2img,
+                                      **camera_kwargs(cfg, metas))
             for j, tem in enumerate(metas["temImg2lidars"]):
                 origin, direction = rays_for_cams(
                     jnp.asarray(tem, jnp.float32)[None], rays)
@@ -321,7 +347,8 @@ def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
             continue
         batch = {k: jnp.asarray(v) for k, v in ds[i].items()
                  if not isinstance(v, (str, dict))}
-        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"],
+                                  **camera_kwargs(cfg, batch))
         if not hasattr(ds, "novel_view_sample"):
             continue
         for off in offsets:

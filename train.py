@@ -74,7 +74,8 @@ def run_epoch_eval(model, state, cfg, ds, logger, n_samples, epoch):
     import jax.numpy as jnp
     import numpy as np
     from selfocc_tpu.ops.interp import bilinear_sample
-    from selfocc_tpu.utils.eval_lib import ChunkedRenderer, rays_for_cams
+    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, camera_kwargs,
+                                            rays_for_cams)
     from selfocc_tpu.geometry.ray_sampler import RaySampler
     from selfocc_tpu.utils.metrics import DepthMetric
 
@@ -89,10 +90,12 @@ def run_epoch_eval(model, state, cfg, ds, logger, n_samples, epoch):
     metric = DepthMetric(camera_names=[f"cam{i}" for i in range(cfg.num_cams)],
                          eval_types=["raw"])
     for i in range(min(n_samples, len(ds))):
-        batch = {k: jnp.asarray(v) for k, v in ds[i].items()}
+        batch = {k: jnp.asarray(v) for k, v in ds[i].items()
+                 if not isinstance(v, (str, dict))}
         if "depth_loc" not in batch:
             continue
-        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"],
+                                  **camera_kwargs(cfg, batch))
         origin, direction = rays_for_cams(batch["img2lidar"], rays)
         out = renderer.render(volume, origin, direction)
         depth = out["depth"].reshape(cfg.num_cams, rh, rw)

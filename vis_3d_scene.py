@@ -38,7 +38,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from selfocc_tpu.utils.eval_lib import (load_model_for_eval,
+    from selfocc_tpu.utils.eval_lib import (camera_kwargs,
+                                            load_model_for_eval,
                                             restore_eval_variables)
     from selfocc_tpu.utils.logging_util import get_logger
 
@@ -65,14 +66,15 @@ def main():
     variables = restore_eval_variables(model, cfg, sample, args.ckpt_path,
                                        args.seed)
     aabb = list(cfg.model.head.roi_aabb)
-    occ_fn = jax.jit(lambda v, i, l: model.apply(
+    occ_fn = jax.jit(lambda v, i, l, **ck: model.apply(
         v, i, l, aabb=tuple(aabb), resolution=args.resolution,
-        method="forward_occ"))
+        method="forward_occ", **ck))
 
     all_pts, all_colors = [], []
     for i in range(min(args.num_samples, len(ds))):
         batch = as_arrays(ds[i])
-        out = occ_fn(variables, batch["imgs"], batch["lidar2img"])
+        out = occ_fn(variables, batch["imgs"], batch["lidar2img"],
+                     **camera_kwargs(cfg, batch))
         occ = np.asarray(out["sdf"]) <= args.thresh
         pts = np.asarray(out["xyz"])[occ]
         # lift frame-local points into the scene frame. Real datasets carry

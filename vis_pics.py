@@ -42,7 +42,8 @@ def main():
 
     import jax.numpy as jnp
     from selfocc_tpu.geometry.projection import apply_novel_view
-    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, eval_ray_grid,
+    from selfocc_tpu.utils.eval_lib import (ChunkedRenderer, camera_kwargs,
+                                            eval_ray_grid,
                                             load_model_for_eval,
                                             eval_trans_mats,
                                             rays_for_cams,
@@ -68,7 +69,8 @@ def main():
     import cv2
     for i in range(min(args.num_samples, len(ds))):
         batch = as_arrays(ds[i])
-        volume = renderer.prepare(batch["imgs"], batch["lidar2img"])
+        volume = renderer.prepare(batch["imgs"], batch["lidar2img"],
+                                  **camera_kwargs(cfg, batch))
         i2l = eval_trans_mats(batch, cfg)
         if args.novel_view is not None:
             i2l = apply_novel_view(i2l, args.novel_view)
