@@ -444,6 +444,21 @@ def nuscenes_occ_compact() -> Config:
     return dataclasses.replace(cfg, name="nuscenes_occ_compact", model=model)
 
 
+def nuscenes_occ_compact_train() -> Config:
+    """Reference-exact-semantics TRAIN recipe for a 16 GB v5e: visibility
+    compaction (exact given capacity) + 2048-ray remat chunks (semantics-
+    preserving: chunking only changes the remat schedule). Unlike
+    ``nuscenes_occ_fast`` there is NO shared_locations and NO bf16 compute
+    — this is the minimal memory recipe that keeps the math identical to
+    ``nuscenes_occ`` (VERDICT r2 #5)."""
+    cfg = nuscenes_occ_compact()
+    model = dataclasses.replace(
+        cfg.model,
+        head=dataclasses.replace(cfg.model.head, train_ray_chunk=2048))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_train",
+                               model=model)
+
+
 def nuscenes_occ_fast() -> Config:
     """TPU fast recipe: the flagship ``nuscenes_occ`` with the two measured
     speed modes enabled — head-shared deformable sampling locations
@@ -480,6 +495,7 @@ _CONFIGS = {
     "tiny_nerfacc": tiny_nerfacc,
     "nuscenes_occ_density": nuscenes_occ_density,
     "nuscenes_occ_compact": nuscenes_occ_compact,
+    "nuscenes_occ_compact_train": nuscenes_occ_compact_train,
 }
 
 

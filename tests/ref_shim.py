@@ -134,6 +134,7 @@ def install_shims():
     mm.registry = _module("mmengine.registry", Registry=Registry,
                           MODELS=MODELS)
     mm.model = _module("mmengine.model", BaseModule=BaseModule,
+                       ModuleList=nn.ModuleList,
                        xavier_init=xavier_init, constant_init=constant_init)
     def deprecated_api_warning(name_dict, cls_name=None):
         def deco(fn):
@@ -194,12 +195,63 @@ def install_shims():
             self.value_proj = nn.Linear(embed_dims, vdim)
             self.output_proj = nn.Linear(vdim, embed_dims)
 
+    class FFN(BaseModule):
+        """mmcv.cnn.bricks.transformer.FFN semantics: (num_fcs-1) x
+        [Linear->act->Dropout] -> Linear -> Dropout, residual add (identity
+        defaults to the input). Layer names match mmcv's Sequential layout
+        (``layers.0.0`` first fc, ``layers.1`` last fc) so checkpoints and
+        state_dict-based weight sharing line up."""
+
+        def __init__(self, embed_dims=256, feedforward_channels=1024,
+                     num_fcs=2, act_cfg=None, ffn_drop=0.0,
+                     dropout_layer=None, add_identity=True, init_cfg=None,
+                     **kw):
+            super().__init__(init_cfg)
+            layers = []
+            in_ch = embed_dims
+            for _ in range(num_fcs - 1):
+                layers.append(nn.Sequential(
+                    nn.Linear(in_ch, feedforward_channels),
+                    nn.ReLU(inplace=True), nn.Dropout(ffn_drop)))
+                in_ch = feedforward_channels
+            layers.append(nn.Linear(feedforward_channels, embed_dims))
+            layers.append(nn.Dropout(ffn_drop))
+            self.layers = nn.Sequential(*layers)
+            self.dropout_layer = nn.Identity()
+            self.add_identity = add_identity
+
+        def forward(self, x, identity=None):
+            out = self.layers(x)
+            if not self.add_identity:
+                return self.dropout_layer(out)
+            if identity is None:
+                identity = x
+            return identity + self.dropout_layer(out)
+
+    def build_norm_layer(cfg, num_features):
+        cfg = dict(cfg)
+        t = cfg.pop("type", "LN")
+        if t == "LN":
+            return "ln", nn.LayerNorm(num_features)
+        # registry norms (e.g. the reference's MultiPlaneNorm) take
+        # num_features as their first positional (embed_dims)
+        return t.lower(), MODELS.get(t)(num_features, **cfg)
+
+    def build_feedforward_network(cfg):
+        cfg = dict(cfg)
+        t = cfg.pop("type", "FFN")
+        if t == "FFN":
+            return FFN(**cfg)
+        return MODELS.get(t)(**cfg)
+
     mmcv = _module("mmcv", _selfocc_shim=True)
-    mmcv.cnn = _module("mmcv.cnn")
+    mmcv.cnn = _module("mmcv.cnn", build_norm_layer=build_norm_layer)
     mmcv.cnn.bricks = _module("mmcv.cnn.bricks")
     mmcv.cnn.bricks.transformer = _module(
         "mmcv.cnn.bricks.transformer",
-        build_attention=lambda cfg: MODELS.build(cfg))
+        build_attention=lambda cfg: MODELS.build(cfg),
+        build_feedforward_network=build_feedforward_network,
+        FFN=FFN)
     mmcv.ops = _module("mmcv.ops")
     mmcv.ops.multi_scale_deform_attn = _module(
         "mmcv.ops.multi_scale_deform_attn",
