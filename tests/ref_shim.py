@@ -250,6 +250,8 @@ def install_shims():
     mmcv.cnn.bricks.transformer = _module(
         "mmcv.cnn.bricks.transformer",
         build_attention=lambda cfg: MODELS.build(cfg),
+        build_positional_encoding=lambda cfg: MODELS.build(cfg),
+        build_transformer_layer=lambda cfg: MODELS.build(cfg),
         build_feedforward_network=build_feedforward_network,
         FFN=FFN)
     mmcv.ops = _module("mmcv.ops")
