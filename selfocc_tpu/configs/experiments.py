@@ -425,6 +425,17 @@ def tiny_nerfacc() -> Config:
     return _to_nerfacc(tiny(), "tiny_nerfacc")
 
 
+def tiny_bev() -> Config:
+    """Tiny config on the BEV representation path (BEVQueryLifter +
+    BEVFormerEncoder + tpv=False head) — a CPU-sized drive of everything
+    ``nuscenes_occ_bev`` exercises."""
+    cfg = tiny()
+    model = dataclasses.replace(
+        cfg.model, lifter_type="BEVQueryLifter", use_bev_encoder=True,
+        head=dataclasses.replace(cfg.model.head, tpv=False))
+    return dataclasses.replace(cfg, name="tiny_bev", model=model)
+
+
 def nuscenes_occ_density() -> Config:
     """Flagship-scale density-field variant (NeRFAccHead)."""
     return _to_nerfacc(nuscenes_occ(), "nuscenes_occ_density")
@@ -493,6 +504,7 @@ _CONFIGS = {
     "nuscenes_occ_bev": nuscenes_occ_bev,
     "nuscenes_occ_fast": nuscenes_occ_fast,
     "tiny_nerfacc": tiny_nerfacc,
+    "tiny_bev": tiny_bev,
     "nuscenes_occ_density": nuscenes_occ_density,
     "nuscenes_occ_compact": nuscenes_occ_compact,
     "nuscenes_occ_compact_train": nuscenes_occ_compact_train,

@@ -652,14 +652,17 @@ class BEVFormerEncoder(nn.Module):
                                focal_ratios_x, focal_ratios_y)
         ref_cams, masks = rc[:, 0], m[:, 0]
 
-        # normalized 2D self-attn reference points (bevformer_encoder.py:114-118)
+        # normalized 2D self-attn reference points (bevformer_encoder.py:
+        # 113-117). QUIRK kept for checkpoint parity: the reference stores
+        # (h_norm, w_norm) but mmcv MSDA consumes [..., 0] as x (normalized
+        # by w) — the reference therefore self-attends at TRANSPOSED grid
+        # locations. Golden-tested in tests/test_golden_bev_encoder.py.
         def build_ref2d():
             ah = np.arange(H, dtype=np.float32)
             aw = np.arange(W, dtype=np.float32)
             gh = np.repeat(ah / max(H - 1, 1), W)
             gw = np.tile(aw / max(W - 1, 1), H)
-            # mmcv sampling locations are (x, y) normalized by (w, h)
-            return jnp.asarray(np.stack([gw, gh], -1), jnp.float32)
+            return jnp.asarray(np.stack([gh, gw], -1), jnp.float32)
 
         ref_2d = self.variable("consts", "ref_2d", build_ref2d).value
 

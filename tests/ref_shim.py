@@ -169,11 +169,15 @@ def install_shims():
                 value, spatial_shapes, sampling_locations, attention_weights)
 
     class MultiScaleDeformableAttention(BaseModule):
-        """mmcv's MSDA MODULE (weight container + init only — the
-        reference's CrossViewHybridAttention subclasses it and overrides
-        forward, so the logic under test stays the reference's own code).
-        Layer layout mirrors mmcv.ops.multi_scale_deform_attn
-        (the same layout utils/ref_import.py maps checkpoints from)."""
+        """mmcv's MSDA module — weight container + the standard mmcv
+        forward (query_pos add, value proj, softmax weights, per-level
+        offset normalization, residual+dropout). The reference's
+        CrossViewHybridAttention subclasses this and overrides forward (its
+        logic stays the reference's own code); the BEVFormer variant's
+        self-attn uses THIS forward directly
+        (``config/nuscenes/nuscenes_occ_bev.py:221-228``). Layer layout
+        mirrors mmcv.ops.multi_scale_deform_attn (the same layout
+        utils/ref_import.py maps checkpoints from)."""
 
         def __init__(self, embed_dims=256, num_heads=8, num_levels=4,
                      num_points=4, im2col_step=64, dropout=0.1,
@@ -194,6 +198,54 @@ def install_shims():
             vdim = int(embed_dims * value_proj_ratio)
             self.value_proj = nn.Linear(embed_dims, vdim)
             self.output_proj = nn.Linear(vdim, embed_dims)
+
+        def forward(self, query, key=None, value=None, identity=None,
+                    query_pos=None, key_padding_mask=None,
+                    reference_points=None, spatial_shapes=None,
+                    level_start_index=None, **kwargs):
+            import torch
+            if value is None:
+                value = query
+            if identity is None:
+                identity = query
+            if query_pos is not None:
+                query = query + query_pos
+            if not self.batch_first:
+                query = query.permute(1, 0, 2)
+                value = value.permute(1, 0, 2)
+            bs, num_query, _ = query.shape
+            bs, num_value, _ = value.shape
+            value = self.value_proj(value)
+            if key_padding_mask is not None:
+                value = value.masked_fill(key_padding_mask[..., None], 0.0)
+            value = value.view(bs, num_value, self.num_heads, -1)
+            sampling_offsets = self.sampling_offsets(query).view(
+                bs, num_query, self.num_heads, self.num_levels,
+                self.num_points, 2)
+            attention_weights = self.attention_weights(query).view(
+                bs, num_query, self.num_heads,
+                self.num_levels * self.num_points)
+            attention_weights = attention_weights.softmax(-1).view(
+                bs, num_query, self.num_heads, self.num_levels,
+                self.num_points)
+            assert reference_points.shape[-1] == 2
+            offset_normalizer = torch.stack(
+                [spatial_shapes[..., 1], spatial_shapes[..., 0]], -1)
+            sampling_locations = (
+                reference_points[:, :, None, :, None, :]
+                + sampling_offsets
+                / offset_normalizer[None, None, None, :, None, :])
+            output = multi_scale_deformable_attn_pytorch(
+                value, spatial_shapes, sampling_locations,
+                attention_weights)
+            output = self.output_proj(output)
+            if not self.batch_first:
+                output = output.permute(1, 0, 2)
+            return self.dropout(output) + identity
+
+    # the real mmcv registers MSDA as a buildable attention; the BEVFormer
+    # layer config constructs it by type name
+    MODELS.register_module(MultiScaleDeformableAttention)
 
     class FFN(BaseModule):
         """mmcv.cnn.bricks.transformer.FFN semantics: (num_fcs-1) x
