@@ -1,0 +1,86 @@
+"""Microbench: XLA native gather vs the Pallas DMA row-gather
+(ops/gather_rows.py) on render-shaped workloads.
+
+The eval render fetches one bundled corner row per (ray, sample):
+~100M rows/s via XLA on a v5e regardless of payload up to ~256 channels
+(docs/PERFORMANCE.md) — ~5% of HBM speed-of-light for 400 B rows. This
+prints one JSON line per (layout, rows/s) so we can tell whether an
+explicit DMA pipeline moves that ceiling. Run on the real TPU
+(tools/tpu_battery.sh includes it); CPU numbers are meaningless.
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def fetch(x):
+    import jax
+    jax.block_until_ready(x)
+    return float(np.asarray(x).reshape(-1)[0])  # axon-safe forced sync
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 21,
+                    help="gathered rows per call (default 2M ~ one 8192-ray"
+                         " x 256-sample chunk)")
+    ap.add_argument("--table-rows", type=int, default=257 * 257 * 25,
+                    help="table size (flagship voxel count)")
+    ap.add_argument("--channels", type=int, default=200,
+                    help="row payload (flagship bundled row: 8 corners x"
+                         " 25 ch)")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--inflight", type=int, default=16)
+    ap.add_argument("--repeat", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from selfocc_tpu.ops.gather_rows import gather_rows
+
+    rng = np.random.RandomState(0)
+    table = jnp.asarray(
+        rng.randn(args.table_rows, args.channels), args.dtype)
+    idx = jnp.asarray(
+        rng.randint(0, args.table_rows, size=(args.rows,)), jnp.int32)
+
+    def timed(fn, *a, **kw):
+        out = fn(*a, **kw)          # compile + warm
+        fetch(out)
+        ts = []
+        for _ in range(args.repeat):
+            t0 = time.time()
+            fetch(fn(*a, **kw))
+            ts.append(time.time() - t0)
+        return float(np.median(ts))
+
+    results = {}
+    take = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+    results["xla_take_rows_per_sec_m"] = round(
+        args.rows / timed(take, table, idx) / 1e6, 1)
+
+    # channel-first column gather — the production ops/interp.py layout
+    table_cf = jnp.asarray(np.asarray(table).T.copy())
+    take_cf = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
+    results["xla_take_cf_rows_per_sec_m"] = round(
+        args.rows / timed(take_cf, table_cf, idx) / 1e6, 1)
+
+    try:
+        dt = timed(gather_rows, table, idx, block=args.block,
+                   inflight=args.inflight)
+        results["pallas_dma_rows_per_sec_m"] = round(
+            args.rows / dt / 1e6, 1)
+    except Exception as e:            # remote compiler has crashed on some
+        results["pallas_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    results.update(rows=args.rows, channels=args.channels,
+                   dtype=args.dtype, block=args.block,
+                   inflight=args.inflight)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,17 @@ timeout 2700 python bench.py --full-channels --no-frames \
   > "$OUT/bench_fullch.json" 2> "$OUT/bench_fullch.log"
 echo "$(date -u +%FT%TZ) bench full-channels rc=$?" >> "$OUT/status.log"
 
+timeout 1800 python tools/bench_gather.py > "$OUT/bench_gather.json" \
+  2> "$OUT/bench_gather.log"
+echo "$(date -u +%FT%TZ) bench gather rc=$?" >> "$OUT/status.log"
+
+# sweep DMA pipeline depth (cheap once compiled per shape)
+for inflight in 8 32 64; do
+  timeout 900 python tools/bench_gather.py --inflight $inflight \
+    > "$OUT/bench_gather_if$inflight.json" 2>> "$OUT/bench_gather.log"
+done
+echo "$(date -u +%FT%TZ) gather sweep rc=$?" >> "$OUT/status.log"
+
 timeout 5400 python train.py --py-config nuscenes_occ_compact_train \
   --synthetic --max-steps 4 --print-freq 1 --prefetch 2 \
   --work-dir "$OUT/train_compact" > "$OUT/train_compact.log" 2>&1
