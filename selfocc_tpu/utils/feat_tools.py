@@ -1,8 +1,10 @@
 """Feature-pyramid utilities.
 
-Behavioral rewrite of ``utils/feat_tools.py`` (``multi2single_scale``,
-``:4-39``): collapse a multi-scale feature list into one map by resizing every
-level to a target stride and reducing (sum or mean).
+Counterpart of ``utils/feat_tools.py`` (``multi2single_scale``, ``:4-39``).
+NOTE: the reference function is DEAD CODE upstream — imported by
+``train.py:74`` / ``eval_depth.py:14`` but never called — so this is a
+deliberately simplified utility (resize-to-target + sum/mean reduce), not a
+behavioral clone of the reference's concat+normalize variant.
 """
 from __future__ import annotations
 
