@@ -371,3 +371,40 @@ def test_eval_iou_kitti_driver(workdir, monkeypatch):
     _run(eval_iou_kitti, ["--py-config", "tiny", "--work-dir", workdir,
                           "--synthetic", "--num-samples", "1",
                           "--resolution", "1.0"], monkeypatch)
+
+
+def test_train_driver_real_format_nuscenes(workdir, monkeypatch, tmp_path):
+    """train.py WITHOUT --synthetic on a fabricated on-disk nuScenes-format
+    dataset — the only driver-level exercise of the real-data CLI path
+    (pkl loading -> build_dataset factory -> wrapper train-aug pipeline ->
+    train step). Every other driver test uses the synthetic fallback."""
+    import dataclasses
+    import os
+
+    import selfocc_tpu.configs.experiments as E
+    from test_nuscenes_dataset import _make_mini_nuscenes
+
+    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    base = E.get_config("tiny")
+    ds_args = dict(data_path=data_path, imageset=pkl, min_dist=0.4,
+                   max_dist=5.0, strict=True, cur_prob=0.5,
+                   composite_prev_next=True, sensor_mus=[0.5, 0.5],
+                   sensor_sigma=0.5, ego_centric=True)
+    cfg = dataclasses.replace(
+        base, name="tiny_real", sem=False, num_cams=6,
+        # the fabricated rig has the full 6-camera surround
+        model=dataclasses.replace(
+            base.model,
+            encoder=dataclasses.replace(base.model.encoder, num_cams=6)),
+        loss_cfgs=[l for l in base.loss_cfgs if l["type"] != "SemCELossMS"],
+        loss_input_convertion={k: v for k, v in
+                               base.loss_input_convertion.items()
+                               if k != "sem"},
+        train_dataset_args=ds_args, val_dataset_args=dict(ds_args))
+    monkeypatch.setitem(E._CONFIGS, "tiny_real", lambda: cfg)
+
+    import train
+    _run(train, ["--py-config", "tiny_real", "--work-dir", workdir,
+                 "--max-steps", "2", "--print-freq", "1"], monkeypatch)
+    assert os.path.isdir(os.path.join(workdir, "ckpts"))
+    assert os.path.exists(os.path.join(workdir, "scalars.jsonl"))
