@@ -373,25 +373,22 @@ def test_eval_iou_kitti_driver(workdir, monkeypatch):
                           "--resolution", "1.0"], monkeypatch)
 
 
-def test_train_driver_real_format_nuscenes(workdir, monkeypatch, tmp_path):
-    """train.py WITHOUT --synthetic on a fabricated on-disk nuScenes-format
-    dataset — the only driver-level exercise of the real-data CLI path
-    (pkl loading -> build_dataset factory -> wrapper train-aug pipeline ->
-    train step). Every other driver test uses the synthetic fallback."""
+def _mini_real_cfg(monkeypatch, tmp_path, name, **fab_kw):
+    """Fabricate an on-disk nuScenes-format mini dataset and register a
+    6-camera tiny config pointed at it under ``name``."""
     import dataclasses
-    import os
 
     import selfocc_tpu.configs.experiments as E
     from test_nuscenes_dataset import _make_mini_nuscenes
 
-    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    data_path, pkl, label_roots = _make_mini_nuscenes(tmp_path, **fab_kw)
     base = E.get_config("tiny")
     ds_args = dict(data_path=data_path, imageset=pkl, min_dist=0.4,
                    max_dist=5.0, strict=True, cur_prob=0.5,
                    composite_prev_next=True, sensor_mus=[0.5, 0.5],
-                   sensor_sigma=0.5, ego_centric=True)
+                   sensor_sigma=0.5, ego_centric=True, **label_roots)
     cfg = dataclasses.replace(
-        base, name="tiny_real", sem=False, num_cams=6,
+        base, name=name, sem=False, num_cams=6,
         # the fabricated rig has the full 6-camera surround
         model=dataclasses.replace(
             base.model,
@@ -401,10 +398,57 @@ def test_train_driver_real_format_nuscenes(workdir, monkeypatch, tmp_path):
                                base.loss_input_convertion.items()
                                if k != "sem"},
         train_dataset_args=ds_args, val_dataset_args=dict(ds_args))
-    monkeypatch.setitem(E._CONFIGS, "tiny_real", lambda: cfg)
+    monkeypatch.setitem(E._CONFIGS, name, lambda: cfg)
+    return cfg
 
+
+def test_train_driver_real_format_nuscenes(workdir, monkeypatch, tmp_path):
+    """train.py WITHOUT --synthetic on a fabricated on-disk nuScenes-format
+    dataset — a driver-level exercise of the real-data CLI path
+    (pkl loading -> build_dataset factory -> wrapper train-aug pipeline ->
+    train step)."""
+    import os
+
+    _mini_real_cfg(monkeypatch, tmp_path, "tiny_real")
     import train
     _run(train, ["--py-config", "tiny_real", "--work-dir", workdir,
                  "--max-steps", "2", "--print-freq", "1"], monkeypatch)
     assert os.path.isdir(os.path.join(workdir, "ckpts"))
     assert os.path.exists(os.path.join(workdir, "scalars.jsonl"))
+
+
+def test_eval_depth_driver_real_format(workdir, monkeypatch, tmp_path):
+    """eval_depth WITHOUT --synthetic: val split through the val pipeline,
+    with EVAL_OVERRIDES' return_depth=True projecting a real on-disk lidar
+    sweep (samples/*.bin) into the cameras for sparse depth GT — the full
+    real-data metric path (reference eval_depth.py + metric_util.py)."""
+    _mini_real_cfg(monkeypatch, tmp_path, "tiny_real_d", with_lidar=True)
+    import eval_depth
+    _run(eval_depth, ["--py-config", "tiny_real_d", "--work-dir", workdir,
+                      "--num-samples", "1", "--batch", "64", "--no-shard"],
+         monkeypatch)
+
+
+def test_eval_iou_driver_real_format_occ3d(workdir, monkeypatch, tmp_path):
+    """eval_iou --occ3d WITHOUT --synthetic: reads a fabricated real-layout
+    Occ3D label tree (gts/<scene>/<token>/labels.npz with semantics /
+    mask_camera / mask_lidar) through the dataset's occ3d_root resolution —
+    the real-labels path CLAUDE.md lists as previously unexercised."""
+    _mini_real_cfg(monkeypatch, tmp_path, "tiny_real_o", with_lidar=True,
+                   with_occ3d=True)
+    import eval_iou
+    _run(eval_iou, ["--py-config", "tiny_real_o", "--work-dir", workdir,
+                    "--num-samples", "1", "--resolution", "1.0", "--occ3d",
+                    "--use-mask"], monkeypatch)
+
+
+def test_eval_iou_driver_real_format_openocc(workdir, monkeypatch, tmp_path):
+    """eval_iou (OpenOccupancy path) WITHOUT --synthetic: sparse voxel .npy
+    labels resolved via scene token + LIDAR_TOP sample_data token
+    (reference eval_iou.py:34-41), scattered to the fixed 512x512x40 grid."""
+    _mini_real_cfg(monkeypatch, tmp_path, "tiny_real_oo", with_lidar=True,
+                   with_openocc=True)
+    import eval_iou
+    _run(eval_iou, ["--py-config", "tiny_real_oo", "--work-dir", workdir,
+                    "--num-samples", "1", "--resolution", "1.0",
+                    "--openocc-grid", "102", "102", "8"], monkeypatch)

@@ -25,10 +25,23 @@ def _yaw_quat(yaw):
     return [math.cos(yaw / 2), 0.0, 0.0, math.sin(yaw / 2)]
 
 
-def _make_mini_nuscenes(tmp_path, n_samples=6, step=2.0):
+def _make_mini_nuscenes(tmp_path, n_samples=6, step=2.0, with_lidar=False,
+                        with_occ3d=False, with_openocc=False):
+    """Fabricate an on-disk nuScenes-format mini dataset: images + infos pkl,
+    optionally lidar sweeps (``samples/lidar_*.bin``, the ``return_depth``
+    GT source), Occ3D ``gts/<scene>/<token>/labels.npz`` and OpenOccupancy
+    ``scene_<token>/occupancy/<lidar_token>.npy`` label trees — the exact
+    real-data layouts ``eval_iou.py`` consumes (reference eval_iou.py:26-41).
+    Returns ``(data_path, pkl_path, label_roots)``."""
     root = tmp_path / "nusc"
     os.makedirs(root / "samples", exist_ok=True)
-    img = (np.random.RandomState(0).rand(64, 96, 3) * 255).astype(np.uint8)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 96, 3) * 255).astype(np.uint8)
+    label_roots = {}
+    if with_occ3d:
+        label_roots["occ3d_root"] = str(root / "occ3d")
+    if with_openocc:
+        label_roots["openocc_root"] = str(root / "openocc")
 
     scene = []
     for i in range(n_samples):
@@ -49,10 +62,41 @@ def _make_mini_nuscenes(tmp_path, n_samples=6, step=2.0):
             }
         data["LIDAR_TOP"] = {
             "filename": f"samples/lidar_{i}.bin",
+            "token": f"lidartok{i}",
             "calib": {"rotation": _yaw_quat(0.0),
                       "translation": [0.9, 0.0, 1.8]},
             "pose": {"rotation": _yaw_quat(0.0), "translation": ego_t},
         }
+        if with_lidar:
+            # a ring of points 3-8 m out — projects into the surround rig
+            # with camera depth in (1, 80) so the eval mask is non-empty
+            n_pts = 256
+            ang = rng.rand(n_pts) * 2 * math.pi
+            r = 3.0 + 5.0 * rng.rand(n_pts)
+            pts = np.stack([r * np.cos(ang), r * np.sin(ang),
+                            rng.rand(n_pts) * 2 - 1, np.ones(n_pts),
+                            rng.rand(n_pts)], 1).astype(np.float32)
+            pts.tofile(str(root / f"samples/lidar_{i}.bin"))
+        if with_occ3d:
+            d = root / "occ3d" / "scene0" / f"tok{i}"
+            os.makedirs(d, exist_ok=True)
+            sem = np.full((200, 200, 16), 17, np.uint8)   # 17 = free
+            occ_mask = rng.rand(200, 200, 16) < 0.02
+            sem[occ_mask] = rng.randint(1, 17, occ_mask.sum()).astype(np.uint8)
+            np.savez_compressed(
+                str(d / "labels.npz"), semantics=sem,
+                mask_camera=(rng.rand(200, 200, 16) < 0.8).astype(np.uint8),
+                mask_lidar=(rng.rand(200, 200, 16) < 0.8).astype(np.uint8))
+        if with_openocc:
+            d = root / "openocc" / "scene_scene0" / "occupancy"
+            os.makedirs(d, exist_ok=True)
+            # coords sized for the tiny eval grid (102,102,8) = the real
+            # 512x512x40 layout at --resolution 1.0; 4th column = class
+            coords = np.stack([rng.randint(0, 102, 300),
+                               rng.randint(0, 102, 300),
+                               rng.randint(0, 8, 300),
+                               rng.randint(1, 17, 300)], 1).astype(np.int64)
+            np.save(str(d / f"lidartok{i}.npy"), coords)
         scene.append({"token": f"tok{i}", "timestamp": i * 0.5, "data": data})
 
     infos = {"scene0": scene}
@@ -60,12 +104,12 @@ def _make_mini_nuscenes(tmp_path, n_samples=6, step=2.0):
     pkl_path = tmp_path / "mini_infos.pkl"
     with open(pkl_path, "wb") as f:
         pickle.dump({"infos": infos, "metadata": keyframes}, f)
-    return str(root) + "/", str(pkl_path)
+    return str(root) + "/", str(pkl_path), label_roots
 
 
 @pytest.fixture()
 def mini_ds(tmp_path):
-    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    data_path, pkl, _ = _make_mini_nuscenes(tmp_path)
     return nuScenes_One_Frame_Sweeps_Dist(
         data_path=data_path, imageset=pkl, crop_size=[64, 96],
         min_dist=0.4, max_dist=5.0, strict=True, cur_prob=1.0,
@@ -96,7 +140,7 @@ def test_matrix_consistency(mini_ds):
 def test_img2previmg_chain(tmp_path):
     """Projecting a world point through cam at t then img2prevImg must equal
     projecting it directly through the prev camera."""
-    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    data_path, pkl, _ = _make_mini_nuscenes(tmp_path)
     ds = nuScenes_One_Frame_Sweeps_Dist(
         data_path=data_path, imageset=pkl, crop_size=[64, 96],
         min_dist=0.4, max_dist=5.0, strict=True, cur_prob=1.0,
