@@ -117,8 +117,11 @@ class TemporalDatasetWrapper:
             maps = self.sem_teacher.load_batch(metas["curr_imgs_path"])
             if maps is not None:
                 batch["sem_gt"] = maps[None]
-        # occupancy GT label paths (strings, host-side eval only)
-        for k in ("occ3d_label_path", "openocc_label_path", "token"):
+        # occupancy GT label paths + sample identifiers (strings, host-side
+        # eval only; "sequence" is what eval_iou_kitti resolves the
+        # SemanticKITTI voxel label path with)
+        for k in ("occ3d_label_path", "openocc_label_path", "token",
+                  "sequence"):
             if k in metas:
                 batch[k] = metas[k]
         return batch

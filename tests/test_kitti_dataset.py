@@ -9,20 +9,40 @@ from selfocc_tpu.data.kitti_dataset import (Kitti_One_Frame, TRANSXY,
                                             read_calib, read_poses)
 
 
-def _make_mini_kitti(tmp_path, n_frames=8, step=1.0):
+def _make_mini_kitti(tmp_path, n_frames=8, step=1.0, with_voxels=False,
+                     img_hw=(60, 120)):
+    """Fabricate an on-disk SemanticKITTI-odometry mini tree. With
+    ``with_voxels`` also writes ``voxels/{fid}.bin/.label/.invalid`` every 5
+    frames (the real dataset's completion-GT cadence — the val split indexes
+    by those, and ``eval_iou_kitti`` reads the label/invalid pair)."""
     root = tmp_path / "kitti"
     seq = "00"
     seq_dir = root / "dataset" / "sequences" / seq
     os.makedirs(seq_dir / "image_2")
     os.makedirs(seq_dir / "velodyne")
     os.makedirs(root / "dataset" / "poses")
+    if with_voxels:
+        os.makedirs(seq_dir / "voxels")
 
-    img = (np.random.RandomState(0).rand(60, 120, 3) * 255).astype(np.uint8)
+    img = (np.random.RandomState(0).rand(*img_hw, 3) * 255).astype(np.uint8)
     poses = []
     for i in range(n_frames):
         cv2.imwrite(str(seq_dir / "image_2" / f"{i:06d}.png"), img)
         pts = np.random.RandomState(i).rand(50, 4).astype(np.float32) * 10
         pts.tofile(str(seq_dir / "velodyne" / f"{i:06d}.bin"))
+        if with_voxels and i % 5 == 0:
+            rng = np.random.RandomState(100 + i)
+            occ = (rng.rand(256 * 256 * 32) < 0.02).astype(np.uint8)
+            np.packbits(occ).tofile(str(seq_dir / "voxels" / f"{i:06d}.bin"))
+            # raw semantic-kitti label ids (pre-LEARNING_MAP remap)
+            raw_ids = np.array([0, 10, 11, 30, 40, 48, 50, 70, 80],
+                               np.uint16)
+            label = raw_ids[rng.randint(0, len(raw_ids), 256 * 256 * 32)]
+            (label * occ).astype(np.uint16).tofile(
+                str(seq_dir / "voxels" / f"{i:06d}.label"))
+            invalid = (rng.rand(256 * 256 * 32) < 0.1).astype(np.uint8)
+            np.packbits(invalid).tofile(
+                str(seq_dir / "voxels" / f"{i:06d}.invalid"))
         T = np.eye(4)
         T[2, 3] = step * i  # cam0 z-forward motion
         poses.append(T)
