@@ -109,7 +109,11 @@ class PhotoMetricDistortionMultiViewImage:
         img = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
         if mode == 0 and rnd.randint(2):
             img = img * rnd.uniform(self.contrast_lower, self.contrast_upper)
-        if self.use_swap_channel and rnd.randint(2):
+        # NB: the randint is drawn BEFORE the use_swap_channel check, like
+        # the reference (transform_3d.py:216 `if random.randint(2) and
+        # self.use_swap_channel`) — keeps the host RNG draw sequence
+        # identical so seeded goldens match bit-for-bit
+        if rnd.randint(2) and self.use_swap_channel:
             img = img[..., rnd.permutation(3)]
         return img
 

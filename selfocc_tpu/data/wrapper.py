@@ -19,6 +19,27 @@ from .transforms import (IMG_NORM, NormalizeMultiviewImage, PadMultiViewImage,
                          RandomScaleImageMultiViewImage, forward_aug)
 
 
+def _resize_align_corners(img: np.ndarray, size_hw) -> np.ndarray:
+    """Bilinear HWC resize with torch ``align_corners=True`` semantics
+    (src = dst * (in-1)/(out-1)), matching the reference's supervision-image
+    ``F.interpolate`` (dataset_wrapper_temporal.py:152-154)."""
+    h, w = img.shape[:2]
+    th, tw = size_hw
+    ys = (np.arange(th, dtype=np.float64) * ((h - 1) / (th - 1))
+          if th > 1 else np.zeros(th))
+    xs = (np.arange(tw, dtype=np.float64) * ((w - 1) / (tw - 1))
+          if tw > 1 else np.zeros(tw))
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1, x1 = np.minimum(y0 + 1, h - 1), np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).astype(np.float32)[:, None, None]
+    fx = (xs - x0).astype(np.float32)[None, :, None]
+    img = img.astype(np.float32)
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
 class TemporalDatasetWrapper:
     """Wraps a raw dataset emitting ``([input, curr, prev, next] imgs, metas)``
     into canonical batches."""
@@ -72,12 +93,12 @@ class TemporalDatasetWrapper:
             return np.stack(ims).astype(np.float32)[None]  # 1, N, H, W, 3
 
         def stack_sup(ims):
-            # supervision images optionally resized
-            # (reference dataset_wrapper_temporal.py:151-154)
+            # supervision images optionally resized with ALIGN_CORNERS
+            # bilinear (reference dataset_wrapper_temporal.py:151-154 uses
+            # F.interpolate(align_corners=True), which is NOT cv2.resize's
+            # half-pixel convention)
             if self.supervision_img_size is not None:
-                import cv2
-                h, w = self.supervision_img_size
-                ims = [cv2.resize(im, (w, h), interpolation=cv2.INTER_LINEAR)
+                ims = [_resize_align_corners(im, self.supervision_img_size)
                        for im in ims]
             return stack(ims)
 
@@ -86,7 +107,9 @@ class TemporalDatasetWrapper:
             "curr_imgs": stack_sup(curr_imgs) / 256.0,
             "prev_imgs": stack_sup(prev_imgs) / 256.0,
             "next_imgs": stack_sup(next_imgs) / 256.0,
-            "color_imgs": stack_sup(color_imgs) / 256.0,
+            # color_imgs are NOT resized (reference interpolates only
+            # curr/prev/next, dataset_wrapper_temporal.py:151-154)
+            "color_imgs": stack(color_imgs) / 256.0,
             "lidar2img": metas["lidar2img"][None].astype(np.float32),
             "img2lidar": metas["img2lidar"][None].astype(np.float32),
             "temImg2lidar": metas["temImg2lidar"][None].astype(np.float32),

@@ -296,7 +296,49 @@ def install_shims():
             return FFN(**cfg)
         return MODELS.get(t)(**cfg)
 
-    mmcv = _module("mmcv", _selfocc_shim=True)
+    # ---- mmcv top-level image ops (faithful reimplementations of
+    # mmcv.image over cv2/numpy, used by the reference's transform_3d.py;
+    # mmcv pads bottom/right, normalizes in-place via cv2.subtract/multiply
+    # with float64 mean/stdinv, and resizes with cv2 bilinear) ----
+    import cv2
+    import numpy as np
+
+    def impad(img, shape=None, pad_val=0, **kw):
+        out = np.empty(tuple(shape) + img.shape[2:], img.dtype)
+        out[...] = pad_val
+        out[:img.shape[0], :img.shape[1]] = img
+        return out
+
+    def impad_to_multiple(img, divisor, pad_val=0):
+        h = int(np.ceil(img.shape[0] / divisor)) * divisor
+        w = int(np.ceil(img.shape[1] / divisor)) * divisor
+        return impad(img, shape=(h, w), pad_val=pad_val)
+
+    def imnormalize(img, mean, std, to_rgb=True):
+        img = img.copy().astype(np.float32)
+        mean = np.float64(np.asarray(mean).reshape(1, -1))
+        stdinv = 1 / np.float64(np.asarray(std).reshape(1, -1))
+        if to_rgb:
+            cv2.cvtColor(img, cv2.COLOR_BGR2RGB, img)
+        cv2.subtract(img, mean, img)
+        cv2.multiply(img, stdinv, img)
+        return img
+
+    def imflip(img, direction="horizontal"):
+        assert direction == "horizontal"
+        return np.flip(img, axis=1)
+
+    def imresize(img, size, return_scale=False, interpolation="bilinear"):
+        assert interpolation == "bilinear"
+        out = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+        return (out, None, None) if return_scale else out
+
+    mmcv = _module(
+        "mmcv", _selfocc_shim=True,
+        impad=impad, impad_to_multiple=impad_to_multiple,
+        imnormalize=imnormalize, imflip=imflip, imresize=imresize,
+        bgr2hsv=lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV),
+        hsv2bgr=lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR))
     mmcv.cnn = _module("mmcv.cnn", build_norm_layer=build_norm_layer)
     mmcv.cnn.bricks = _module("mmcv.cnn.bricks")
     mmcv.cnn.bricks.transformer = _module(
@@ -351,6 +393,9 @@ def install_shims():
              "model/encoder/tpvformer/modules"),
     ]:
         _pkg_stub(pkg, os.path.join(REF_ROOT, rel))
+    # dataset_wrapper_temporal.py does `from . import OPENOCC_DATAWRAPPER`
+    # against the stubbed parent package
+    sys.modules["dataset"].OPENOCC_DATAWRAPPER = Registry("data_wrapper")
     # `loss` has a light __init__ (registry + loss imports) that must
     # actually execute — load it by explicit file path. NEVER put REF_ROOT
     # on sys.path: the reference's root-level module names (train,

@@ -268,7 +268,7 @@ def test_vis_3d_scene_scene_walk(workdir, monkeypatch, tmp_path):
     from test_nuscenes_dataset import _make_mini_nuscenes
     import vis_3d_scene
     import os
-    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    data_path, pkl, _ = _make_mini_nuscenes(tmp_path)
     _run(vis_3d_scene, ["--py-config", "tiny", "--work-dir", workdir,
                         "--imageset", pkl, "--data-path", data_path,
                         "--num-samples", "2", "--resolution", "1.0"],

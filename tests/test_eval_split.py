@@ -24,7 +24,7 @@ from test_nuscenes_dataset import _make_mini_nuscenes
 
 
 def _mini_nusc_with_lidar(tmp_path):
-    data_path, pkl = _make_mini_nuscenes(tmp_path)
+    data_path, pkl, _ = _make_mini_nuscenes(tmp_path)
     for i in range(6):
         pts = np.random.RandomState(i).rand(64, 5).astype(np.float32) * 12
         pts.tofile(os.path.join(data_path, f"samples/lidar_{i}.bin"))
