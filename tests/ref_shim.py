@@ -130,7 +130,15 @@ def install_shims():
         def __init__(self, name="", **kw):
             pass
 
-    mm = _module("mmengine", ConfigDict=dict, _selfocc_shim=True)
+    def _mm_load(path):
+        # mmengine.load dispatches on extension; the reference only loads
+        # pickle info files
+        import pickle
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    mm = _module("mmengine", ConfigDict=dict, _selfocc_shim=True,
+                 load=_mm_load)
     mm.registry = _module("mmengine.registry", Registry=Registry,
                           MODELS=MODELS)
     mm.model = _module("mmengine.model", BaseModule=BaseModule,
@@ -339,6 +347,35 @@ def install_shims():
         imnormalize=imnormalize, imflip=imflip, imresize=imresize,
         bgr2hsv=lambda im: cv2.cvtColor(im, cv2.COLOR_BGR2HSV),
         hsv2bgr=lambda im: cv2.cvtColor(im, cv2.COLOR_HSV2BGR))
+
+    def _imread(path, flag="color"):
+        # mmcv.image.io.imread cv2 backend: 'unchanged' = IMREAD_UNCHANGED
+        flags = {"color": cv2.IMREAD_COLOR,
+                 "unchanged": cv2.IMREAD_UNCHANGED,
+                 "grayscale": cv2.IMREAD_GRAYSCALE}[flag]
+        return cv2.imread(str(path), flags)
+
+    mmcv.image = _module("mmcv.image")
+    mmcv.image.io = _module("mmcv.image.io", imread=_imread)
+
+    # pyquaternion (not installed): the reference only uses
+    # Quaternion(wxyz).rotation_matrix, which normalizes first
+    class Quaternion:
+        def __init__(self, q):
+            self.q = np.asarray(q, np.float64)
+
+        @property
+        def rotation_matrix(self):
+            w, x, y, z = self.q / np.linalg.norm(self.q)
+            return np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w),
+                 1 - 2 * (x * x + y * y)]])
+
+    _module("pyquaternion", Quaternion=Quaternion)
     mmcv.cnn = _module("mmcv.cnn", build_norm_layer=build_norm_layer)
     mmcv.cnn.bricks = _module("mmcv.cnn.bricks")
     mmcv.cnn.bricks.transformer = _module(
@@ -380,6 +417,8 @@ def install_shims():
     for pkg, rel in [
             ("model", "model"),
             ("dataset", "dataset"),
+            ("dataset.kitti", "dataset/kitti"),
+            ("dataset.kitti_raw", "dataset/kitti_raw"),
             ("model.backbone", "model/backbone"),
             ("model.head", "model/head"),
             ("model.head.utils", "model/head/utils"),
@@ -394,8 +433,9 @@ def install_shims():
     ]:
         _pkg_stub(pkg, os.path.join(REF_ROOT, rel))
     # dataset_wrapper_temporal.py does `from . import OPENOCC_DATAWRAPPER`
-    # against the stubbed parent package
+    # against the stubbed parent package (datasets likewise)
     sys.modules["dataset"].OPENOCC_DATAWRAPPER = Registry("data_wrapper")
+    sys.modules["dataset"].OPENOCC_DATASET = Registry("dataset")
     # `loss` has a light __init__ (registry + loss imports) that must
     # actually execute — load it by explicit file path. NEVER put REF_ROOT
     # on sys.path: the reference's root-level module names (train,
