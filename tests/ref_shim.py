@@ -398,6 +398,46 @@ def install_shims():
     mmseg = _module("mmseg", _selfocc_shim=True)
     mmseg.registry = _module("mmseg.registry", MODELS=MODELS)
 
+    # mmseg.models + mmdet3d.registry — enough for the reference's
+    # CustomBaseSegmentor/TPVSegmentor to build from config dicts
+    # (base_segmentor.py:1-32). One shared registry suffices: the reference
+    # scatters registrations across SEGMENTORS/HEADS/MODELS but names never
+    # collide.
+    class _Builder:
+        build_backbone = staticmethod(lambda cfg: MODELS.build(cfg))
+        build_neck = staticmethod(lambda cfg: MODELS.build(cfg))
+        build_head = staticmethod(lambda cfg: MODELS.build(cfg))
+
+    mmseg.models = _module(
+        "mmseg.models", SEGMENTORS=MODELS, HEADS=MODELS, MODELS=MODELS,
+        builder=_Builder,
+        build_backbone=lambda cfg: MODELS.build(cfg))
+    mmdet3d = _module("mmdet3d", _selfocc_shim=True)
+    mmdet3d.registry = _module("mmdet3d.registry", MODELS=MODELS)
+
+    # nerfacc (not installed): construction-only stub. The reference's
+    # NeRFAccHead imports it at module level (nerfacc_head.py:9) and its
+    # CustomOccGridEstimator subclasses OccGridEstimator (estimator.py:1-8),
+    # but the forward_occ / prepare / pre_compute paths exercised by goldens
+    # never march rays, so the estimator just needs to build.
+    import torch as _torch
+
+    class _OccGridEstimator(nn.Module):
+        def __init__(self, roi_aabb, resolution=128, levels=1, **kw):
+            super().__init__()
+            self.register_buffer(
+                "aabbs", _torch.as_tensor(roi_aabb,
+                                          dtype=_torch.float32).reshape(1, 6))
+
+    def _na_unavailable(*a, **kw):
+        raise NotImplementedError("nerfacc stub: ray marching not available")
+
+    na = _module("nerfacc", OccGridEstimator=_OccGridEstimator,
+                 render_weight_from_alpha=_na_unavailable,
+                 render_weight_from_density=_na_unavailable,
+                 accumulate_along_rays=_na_unavailable)
+    na.grid = _module("nerfacc.grid", traverse_grids=_na_unavailable)
+
     # the reference's own utils package (tb writer singleton) — stub it so
     # `from utils.tb_wrapper import WrappedTBWriter` never imports
     # tensorboard / never collides with anything local
@@ -416,6 +456,8 @@ def install_shims():
     # machinery finds leaf modules underneath.
     for pkg, rel in [
             ("model", "model"),
+            ("model.segmentor", "model/segmentor"),
+            ("model.lifter", "model/lifter"),
             ("dataset", "dataset"),
             ("dataset.kitti", "dataset/kitti"),
             ("dataset.kitti_raw", "dataset/kitti_raw"),

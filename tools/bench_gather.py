@@ -10,9 +10,13 @@ explicit DMA pipeline moves that ceiling. Run on the real TPU
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fetch(x):
