@@ -38,6 +38,16 @@ def parse_args():
                     help="flip test-time augmentation: average depth with a "
                          "horizontally-flipped second pass (reference "
                          "eval_depth.py:168-183)")
+    ap.add_argument("--depth-metric-tgt", default="raw",
+                    choices=["raw", "median", "max"],
+                    help="which depth render the metric scores (reference "
+                         "eval_depth.py:215-220): 'raw' = expected depth, "
+                         "'max' = argmax-weight depth (neus_head.py:579-587)."
+                         " 'median' is rejected: the reference's median "
+                         "render is dead code (ms_depths_median commented "
+                         "out, neus_head.py:461) and the tgt would NameError "
+                         "upstream; DepthMetric's median-scaling column "
+                         "already covers its semantics")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--save-depth", action="store_true",
                     help="save the (N_cams, H, W) depth map of each sample "
@@ -62,6 +72,19 @@ def main():
     cfg, model = load_model_for_eval(args.py_config, args.ckpt_path)
     logger = get_logger(args.work_dir)
 
+    if args.depth_metric_tgt == "median":
+        raise SystemExit("--depth-metric-tgt median: the reference's median "
+                         "depth render is dead code (see --help); use raw "
+                         "(median-scaled column included) or max")
+    if args.depth_metric_tgt == "max" and not cfg.model.head.return_max_depth:
+        # output-only flag — same param tree, so checkpoints restore as-is
+        import dataclasses
+        from selfocc_tpu.models.segmentor import TPVSegmentor
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, head=dataclasses.replace(
+                cfg.model.head, return_max_depth=True)))
+        model = TPVSegmentor(cfg=cfg.model)
+
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic, phase="val")
     from train import as_arrays
@@ -70,9 +93,11 @@ def main():
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
 
+    outputs = ("depth",) if args.depth_metric_tgt == "raw" \
+        else ("depth", "max_depth")
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
                                shard=not args.no_shard,
-                               outputs=("depth",),
+                               outputs=outputs,
                                prepare_shard=args.prepare_shard)
     rays = eval_ray_grid(cfg)
     rh, rw = cfg.eval_num_rays
@@ -91,7 +116,13 @@ def main():
         origin, direction = rays_for_cams(eval_trans_mats(batch, cfg), rays)
         out = renderer.render(volume, origin, direction)
         total_rays += origin.shape[0]
+        if args.depth_metric_tgt == "max" and "max_depth" not in out:
+            raise SystemExit("--depth-metric-tgt max needs the NeuS head "
+                             "(the nerfacc head has no argmax-weight depth, "
+                             "matching the reference)")
         depth = out["depth"].reshape(cfg.num_cams, rh, rw)
+        maxd = out["max_depth"].reshape(cfg.num_cams, rh, rw) \
+            if "max_depth" in out else None
         if args.flip:
             # second pass on mirrored inputs, features un-mirrored by the
             # backbone's flip path (segmentor.extract_img_feat); goes
@@ -106,14 +137,24 @@ def main():
             out_f = renderer.render(vol_f, origin, direction)
             depth_f = out_f["depth"].reshape(cfg.num_cams, rh, rw)
             depth = 0.5 * (depth + depth_f)
+            if maxd is not None:
+                maxd = 0.5 * (maxd + out_f["max_depth"].reshape(
+                    cfg.num_cams, rh, rw))
             total_rays += origin.shape[0]
 
         if args.save_depth:
             import os
             np.save(os.path.join(args.work_dir, f"depth_{i:04d}.npy"),
                     np.asarray(depth))
+            if maxd is not None:
+                # reference saves the max render alongside (depth_max/<token>)
+                np.save(os.path.join(args.work_dir, f"depth_max_{i:04d}.npy"),
+                        np.asarray(maxd))
 
         if "depth_loc" in batch:
+            # the metric scores the SELECTED render (reference
+            # eval_depth.py:215-220); raw+median-scaled columns both apply
+            score_map = maxd if args.depth_metric_tgt == "max" else depth
             loc = np.asarray(batch["depth_loc"])   # N, n, 2 in [0,1]
             # sample the predicted depth map at GT pixel locations
             # (reference metric_util.py:311-322, grid_sample border)
@@ -121,8 +162,8 @@ def main():
                            axis=-1)
             pred_at = np.stack([
                 np.asarray(bilinear_sample(
-                    jnp.asarray(depth[c][..., None]), jnp.asarray(pix[c]),
-                    "border"))[..., 0]
+                    jnp.asarray(score_map[c][..., None]),
+                    jnp.asarray(pix[c]), "border"))[..., 0]
                 for c in range(cfg.num_cams)])
             metric._after_step(pred_at, np.asarray(batch["depth_gt"]),
                                np.asarray(batch["depth_mask"]))

@@ -79,6 +79,11 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-shard", action="store_true",
+                    help="disable grid sharding (single-device jit)")
+    ap.add_argument("--prepare-shard", action="store_true",
+                    help="also shard the encoder prepare over the camera "
+                         "axis (see eval_depth --prepare-shard)")
     return ap.parse_args()
 
 
@@ -202,9 +207,13 @@ def main():
     else:
         pcr = list(OPENOCC_PCR)
         expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
-    occ_fn = jax.jit(lambda v, i, l, **ck: model.apply(
-        v, i, l, aabb=tuple(pcr), resolution=args.resolution,
-        method="forward_occ", **ck))
+    # grid-sharded forward_occ: decode once, query the uniform grid with the
+    # point axis sharded over every chip (GridOccEvaluator; single-jit on one
+    # device) — the reference's per-frame 512x512x40 query is the eval_iou
+    # bottleneck and previously left n-1 chips idle
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+    evaluator = GridOccEvaluator(model, variables, shard=not args.no_shard,
+                                 prepare_shard=args.prepare_shard)
 
     # both metrics are MeanIoU instances, dataset_empty_label=0
     # (reference eval_iou.py:138-149)
@@ -226,8 +235,9 @@ def main():
         item = ds[i]
         batch = {k: jnp.asarray(v) for k, v in item.items()
                  if not isinstance(v, (str, dict))}
-        out = occ_fn(variables, batch["imgs"], batch["lidar2img"],
-                     **camera_kwargs(cfg, batch))
+        out = evaluator.forward_occ(batch["imgs"], batch["lidar2img"],
+                                    tuple(pcr), args.resolution,
+                                    **camera_kwargs(cfg, batch))
         sdf = np.asarray(out["sdf"])
 
         occ3d_targets = None

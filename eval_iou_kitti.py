@@ -32,6 +32,8 @@ def parse_args():
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--no-shard", action="store_true",
+                    help="disable grid sharding (single-device jit)")
     return ap.parse_args()
 
 
@@ -59,9 +61,10 @@ def main():
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
 
-    occ_fn = jax.jit(lambda v, i, l, **ck: model.apply(
-        v, i, l, aabb=KITTI_AABB, resolution=args.resolution,
-        method="forward_occ", **ck))
+    # grid-sharded forward_occ (see eval_iou.py / GridOccEvaluator)
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+    evaluator = GridOccEvaluator(model, variables,
+                                 shard=not getattr(args, "no_shard", False))
 
     iou_metric = IoU()
     scenerf_metric = SSCMetrics(n_classes=20)
@@ -73,8 +76,9 @@ def main():
     n = min(n, len(ds))
     for i in range(n):
         batch = as_arrays(ds[i])
-        out = occ_fn(variables, batch["imgs"], batch["lidar2img"],
-                     **camera_kwargs(cfg, batch))
+        out = evaluator.forward_occ(batch["imgs"], batch["lidar2img"],
+                                    KITTI_AABB, args.resolution,
+                                    **camera_kwargs(cfg, batch))
         pred_occ = (np.asarray(out["sdf"]) <= args.thresh).astype(np.int32)
 
         # reference post-crop (eval_iou_kitti.py:180-190)

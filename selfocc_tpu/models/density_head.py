@@ -197,3 +197,13 @@ class NeRFAccHead(nn.Module):
             out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
             out["logits"] = geo["sem_logits"]
         return out
+
+    def occ_from_volume(self, volume, xyz):
+        """Density query of an already-decoded volume at arbitrary metric
+        points (grid-sharded eval path, see ``NeuSHead.occ_from_volume``)."""
+        geo = self.radiance_field.query_geo(volume, xyz)
+        out = {"sdf": jax.nn.softplus(geo["sdf"])}
+        if self.return_sem and self.sem_dims > 0:
+            out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
+            out["logits"] = geo["sem_logits"]
+        return out

@@ -510,6 +510,18 @@ class NeuSHead(nn.Module):
             out["logits"] = sem_logits
         return out
 
+    def occ_from_volume(self, volume, xyz):
+        """``forward_occ``'s field query against an already-decoded volume
+        at arbitrary metric points — the grid-sharded eval path
+        (``eval_lib.GridOccEvaluator`` shards the flattened point axis over
+        the mesh; same math as ``get_uniform_sdf``'s query)."""
+        geo = self.field.query_geo(volume, xyz)
+        out = {"sdf": geo["sdf"]}
+        if self.return_sem and self.sem_dims > 0:
+            out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
+            out["logits"] = geo["sem_logits"]
+        return out
+
 
 def split_cams_for_losses(outputs, num_cams):
     """two_split camera halving (``neus_head.py:647-665``): first half keeps

@@ -244,6 +244,11 @@ class TPVSegmentor(nn.Module):
                                       intrinsic=intrinsic, cam2ego=cam2ego)
         return self.head.prepare(rep)
 
+    def occ_from_volume(self, volume, xyz):
+        """Occupancy query against a prepared volume (grid-sharded eval —
+        ``eval_lib.GridOccEvaluator``)."""
+        return self.head.occ_from_volume(volume, xyz)
+
     def render_rays(self, volume, origin, direction, geo_only=False):
         """Render a ray chunk against a prepared volume (eval-time chunked
         rendering, ``neus_head.py:308-471``). ``geo_only`` (static) gathers

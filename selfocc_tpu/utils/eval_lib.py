@@ -232,6 +232,78 @@ class ChunkedRenderer:
         return res
 
 
+class GridOccEvaluator:
+    """``forward_occ`` over all chips (VERDICT r3 #2): decode the field once
+    per frame (optionally camera-sharded), then query the uniform occupancy
+    grid with the flattened point axis sharded across the mesh — the mirror
+    of the ray-sharded ``ChunkedRenderer`` for the eval_iou call stack
+    (reference ``eval_iou.py:166-289``). Falls back to a single-device jit
+    on one chip. Sharded == unsharded is asserted on the CPU mesh
+    (``tests/test_eval_lib_shard.py``) and in ``dryrun_multichip``."""
+
+    def __init__(self, model, variables, shard: bool = True,
+                 prepare_shard: bool = False):
+        self.model = model
+        self.variables = variables
+        # the occupancy numbers feed IoU parity claims: keep the decoded
+        # volume fp32 (unlike the depth render's bf16 fast path)
+        self._prep = ChunkedRenderer(model, variables, shard=False,
+                                     volume_dtype="float32",
+                                     prepare_shard=prepare_shard)
+
+        def _occ_fn(v, vol, xyz):
+            return model.apply(v, vol, xyz, method="occ_from_volume")
+
+        if shard and len(jax.devices()) > 1:
+            from ..parallel.mesh import batch_sharded, make_mesh, replicated
+            mesh = make_mesh()
+            self.n_shard = int(mesh.devices.size)
+            self._occ = jax.jit(
+                _occ_fn,
+                in_shardings=(replicated(mesh), replicated(mesh),
+                              batch_sharded(mesh)))
+        else:
+            self.n_shard = 1
+            self._occ = jax.jit(_occ_fn)
+
+    def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
+                cam2ego=None):
+        return self._prep.prepare(imgs, lidar2img, flip=flip,
+                                  intrinsic=intrinsic, cam2ego=cam2ego)
+
+    def query_grid(self, volume, aabb, resolution) -> Dict[str, np.ndarray]:
+        """Uniform-grid query — identical grid math to
+        ``NeuSHead.get_uniform_sdf`` (same jnp.linspace/meshgrid ops), with
+        the flat point axis padded to the shard count and cropped back."""
+        xs = jnp.linspace(aabb[0], aabb[3],
+                          int((aabb[3] - aabb[0]) / resolution))
+        ys = jnp.linspace(aabb[1], aabb[4],
+                          int((aabb[4] - aabb[1]) / resolution))
+        zs = jnp.linspace(aabb[2], aabb[5],
+                          int((aabb[5] - aabb[2]) / resolution))
+        H, W, D = ys.shape[0], xs.shape[0], zs.shape[0]
+        xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"), axis=-1)
+        xyz = xyz[..., [1, 0, 2]]
+        flat = xyz.reshape(-1, 3)
+        n = flat.shape[0]
+        pad = (-n) % self.n_shard
+        if pad:
+            flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], 0)
+        out = self._occ(self.variables, volume, flat)
+        res = {k: np.asarray(jax.device_get(v))[:n].reshape(
+            (H, W, D) + tuple(v.shape[1:])) for k, v in out.items()}
+        res["xyz"] = np.asarray(xyz)
+        return res
+
+    def forward_occ(self, imgs, lidar2img, aabb, resolution, flip=False,
+                    intrinsic=None, cam2ego=None) -> Dict[str, np.ndarray]:
+        """prepare + query_grid — drop-in for the single-jit
+        ``TPVSegmentor.forward_occ`` eval call."""
+        volume = self.prepare(imgs, lidar2img, flip=flip,
+                              intrinsic=intrinsic, cam2ego=cam2ego)
+        return self.query_grid(volume, aabb, resolution)
+
+
 def prep_input_imgs(input_imgs, cfg: Config):
     """Val-pipeline (Normalize -> RandomScale(cfg.scale_rate) -> Pad div 32)
     on a list of raw HWC images -> (1, N, H, W, 3) network input — for raw

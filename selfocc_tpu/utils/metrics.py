@@ -217,7 +217,12 @@ class DepthMetric:
                     cal = scaling * pred
                     self.scaling[ti, cam] += scaling
                 else:
-                    raise NotImplementedError(t)
+                    # the reference's 'max' eval target is a max-depth
+                    # RENDER selected by eval_depth --depth-metric-tgt max
+                    # (eval_depth.py:215-220), not a DepthMetric scaling;
+                    # raw/median scalings apply to whichever render is scored
+                    raise NotImplementedError(
+                        f"unknown depth eval scaling {t!r} (raw|median)")
                 md = cal_depth_metric(cal, gt)
                 for k in _DEPTH_KEYS:
                     self.sums[k][ti, cam] += md[k]

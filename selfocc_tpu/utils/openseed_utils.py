@@ -39,12 +39,29 @@ NUSCENES_CLASSES = [
     "building", "wall", "tree", "sky"]
 
 
-class SemTeacher:
-    """Streams precomputed OpenSeeD label maps, remapped to nuScenes classes."""
+def apply_label_lut(sem: np.ndarray, lut) -> np.ndarray:
+    """Remap a label map through a user LUT: an int array indexed by class
+    (out-of-range ids clamp to the last entry, matching np.take 'clip'), or
+    any callable. The wiring point for teachers in a non-OpenSeeD label
+    space (docs/PARITY.md teacher caveat)."""
+    if callable(lut):
+        return lut(sem)
+    lut = np.asarray(lut)
+    return lut[np.clip(np.asarray(sem, np.int64), 0, len(lut) - 1)]
 
-    def __init__(self, sem_dir: str, apply_lut: bool = True):
+
+class SemTeacher:
+    """Streams precomputed OpenSeeD label maps, remapped to nuScenes classes.
+
+    ``lut`` overrides the default openseed->nuscenes remap for teachers in
+    another label space (array indexed by teacher class, or callable);
+    ``apply_lut=False`` keeps the teacher space (sem_space="openseed"
+    training)."""
+
+    def __init__(self, sem_dir: str, apply_lut: bool = True, lut=None):
         self.sem_dir = sem_dir
         self.apply_lut = apply_lut
+        self.lut = lut if lut is not None else openseed2nuscenes
 
     def available(self) -> bool:
         return bool(self.sem_dir) and os.path.isdir(self.sem_dir)
@@ -59,7 +76,7 @@ class SemTeacher:
             return None
         sem = np.load(path)
         if self.apply_lut:
-            sem = openseed2nuscenes(sem)
+            sem = apply_label_lut(sem, self.lut)
         return sem
 
     def load_batch(self, img_paths) -> Optional[np.ndarray]:
@@ -86,7 +103,8 @@ class JaxSemTeacher:
     IMAGENET_STD = (58.395, 57.12, 57.375)
 
     def __init__(self, variables, num_classes: int = 21, swin_cfg=None,
-                 channels: int = 512, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+                 channels: int = 512, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 lut=None):
         import jax
         import jax.numpy as jnp
         from ..models.swin import SwinConfig
@@ -96,6 +114,7 @@ class JaxSemTeacher:
                                  swin=swin_cfg or SwinConfig(),
                                  channels=channels)
         self.variables = variables
+        self.lut = lut
         mean = jnp.asarray(mean, jnp.float32)
         std = jnp.asarray(std, jnp.float32)
 
@@ -146,7 +165,12 @@ class JaxSemTeacher:
         return cls(variables, **kw)
 
     def __call__(self, imgs, size=None) -> np.ndarray:
-        """imgs: (B, H, W, 3) uint8/float RGB -> (B, *size) uint8 maps."""
+        """imgs: (B, H, W, 3) uint8/float RGB -> (B, *size) uint8 maps,
+        remapped through ``lut`` when the checkpoint's label space differs
+        from the training space (docs/PARITY.md teacher caveat)."""
         imgs = np.asarray(imgs)
         size = tuple(size) if size is not None else imgs.shape[1:3]
-        return np.asarray(self._forward(self.variables, imgs, size))
+        maps = np.asarray(self._forward(self.variables, imgs, size))
+        if self.lut is not None:
+            maps = apply_label_lut(maps, self.lut).astype(maps.dtype)
+        return maps

@@ -80,7 +80,10 @@ def export_reference_state_dict(variables: Dict[str, Any],
     stats = variables.get("batch_stats", {})
     sd: Dict[str, Any] = {}
 
-    if "img_backbone" in params:
+    # only the ResNet-50 backbone has a reference-layout export; other
+    # backbones (tiny test stub, UNet2D) have no reference counterpart to
+    # name their tensors after and are skipped (they stay in Orbax ckpts)
+    if "img_backbone" in params and "bn1" in params["img_backbone"]:
         _export_resnet50(params["img_backbone"], stats.get("img_backbone", {}),
                          sd)
 

@@ -56,6 +56,29 @@ def test_eval_novel_depth_driver(workdir, monkeypatch):
                             "--batch", "64", "--offsets", "1.0"], monkeypatch)
 
 
+def test_eval_depth_max_target(workdir, monkeypatch, tmp_path):
+    """--depth-metric-tgt max: scores the argmax-weight depth render
+    (reference eval_depth.py:215-220 / neus_head.py:579-587) even when the
+    config doesn't set return_max_depth; median tgt is rejected (dead code
+    upstream); raw still the default."""
+    import os
+    import eval_depth
+    _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir,
+                      "--synthetic", "--num-samples", "1", "--batch", "64",
+                      "--no-shard", "--depth-metric-tgt", "max",
+                      "--save-depth"], monkeypatch)
+    # the max render is saved alongside the raw one and differs from it
+    raw = np.load(os.path.join(workdir, "depth_0000.npy"))
+    mx = np.load(os.path.join(workdir, "depth_max_0000.npy"))
+    assert raw.shape == mx.shape
+    assert np.isfinite(mx).all()
+    assert np.abs(raw - mx).max() > 0
+    with pytest.raises(SystemExit, match="median"):
+        _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir,
+                          "--synthetic", "--num-samples", "1",
+                          "--depth-metric-tgt", "median"], monkeypatch)
+
+
 def test_eval_depth_flip_tta(workdir, monkeypatch):
     import eval_depth
     _run(eval_depth, ["--py-config", "tiny", "--work-dir", workdir,
@@ -80,6 +103,33 @@ def test_vis_3d_driver(workdir, monkeypatch):
                   "--resolution", "1.0"], monkeypatch)
     files = os.listdir(workdir)
     assert any(f.endswith((".ply", ".npy")) for f in files), files
+
+
+def test_vis_3d_gt_export(workdir, monkeypatch):
+    """--gt (reference vis_3d.py mode 2): GT voxels exported as npy+ply
+    beside the predictions — synthetic procedural-grid branch."""
+    import os
+    import vis_3d
+    _run(vis_3d, ["--py-config", "tiny", "--work-dir", workdir,
+                  "--synthetic", "--num-samples", "1",
+                  "--resolution", "1.0", "--gt"], monkeypatch)
+    assert os.path.exists(os.path.join(workdir, "gt_000.npy"))
+    assert os.path.exists(os.path.join(workdir, "gt_000.ply"))
+
+
+def test_vis_3d_gt_export_occ3d(workdir, monkeypatch, tmp_path):
+    """--gt on a fabricated real-layout Occ3D label tree: the 200x200x16
+    semantics grid is exported with the nuScenes palette."""
+    import os
+    import vis_3d
+    _mini_real_cfg(monkeypatch, tmp_path, "tiny_real_v", with_lidar=True,
+                   with_occ3d=True)
+    _run(vis_3d, ["--py-config", "tiny_real_v", "--work-dir", workdir,
+                  "--num-samples", "1", "--resolution", "1.0", "--gt"],
+         monkeypatch)
+    gt = np.load(os.path.join(workdir, "gt_000.npy"))
+    assert gt.shape == (200, 200, 16)
+    assert os.path.exists(os.path.join(workdir, "gt_000.ply"))
 
 
 def test_generate_videos_driver(tmp_path, monkeypatch):
@@ -159,6 +209,41 @@ def test_eval_iou_torch_ckpt_roundtrip(workdir, monkeypatch, tmp_path):
                     "--synthetic", "--num-samples", "1",
                     "--resolution", "1.0", "--occ3d", "--use-mask",
                     "--torch-ckpt", pth], monkeypatch)
+
+
+def test_parity_rehearsal_smoke(workdir, monkeypatch, tmp_path):
+    """tools/parity_rehearsal.py end to end on a fabricated reference .pth
+    (VERDICT r3 #8): import -> export/re-import round-trip gate ->
+    eval_depth -> eval_iou, one command."""
+    import jax
+    import torch
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from test_ref_import import _ref_keys_from_ours
+    from utils_tiny import make_cameras
+
+    cfg = get_config("tiny")
+    model = TPVSegmentor(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+    H, W = cfg.input_size
+    imgs = jax.random.uniform(rng, (1, cfg.num_cams, H, W, 3))
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    variables = jax.jit(lambda: model.init(
+        {"params": rng, "dropout": jax.random.PRNGKey(1)},
+        imgs, cams["lidar2img"], cams["img2lidar"], rng, 0, True))()
+    sd = _ref_keys_from_ours(variables["params"],
+                             cfg.model.encoder.num_layers)
+    pth = str(tmp_path / "ref.pth")
+    torch.save({"state_dict": sd}, pth)
+
+    sys.path.insert(0, "tools")
+    import parity_rehearsal
+    parity_rehearsal.main([
+        "--py-config", "tiny", "--torch-ckpt", pth, "--work-dir", workdir,
+        "--synthetic", "--num-samples", "1", "--resolution", "1.0",
+        "--batch", "64", "--no-shard"])
+    import os
+    assert os.path.exists(os.path.join(workdir, "reexport.pth"))
 
 
 def test_eval_iou_openoccupancy_path(workdir, monkeypatch, tmp_path):

@@ -34,6 +34,42 @@ def test_prepare_shard_matches_replicated(num_cams):
     np.testing.assert_allclose(v1, v0, atol=2e-5)
 
 
+def test_grid_occ_sharded_matches_forward_occ():
+    """GridOccEvaluator (grid axis sharded over the mesh) must reproduce the
+    single-jit ``TPVSegmentor.forward_occ`` exactly — sharding only moves
+    WHERE grid points are queried (VERDICT r3 #2)."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    import jax.numpy as jnp
+    from utils_tiny import TINY_PC_RANGE, make_cameras
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+
+    cfg = tiny_config(num_cams=2, sem=True)
+    model = TPVSegmentor(cfg=cfg.model)
+    rs = np.random.RandomState(5)
+    imgs = rs.rand(1, 2, *cfg.input_size, 3).astype(np.float32)
+    cams = make_cameras(2, cfg.input_size)
+    l2i = np.asarray(cams["lidar2img"], np.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i,
+                           method="prepare")
+
+    aabb, reso = TINY_PC_RANGE, 1.6   # 12x12x2 grid — not 8-divisible
+    ref = jax.jit(lambda v, i, l: model.apply(
+        v, i, l, aabb=aabb, resolution=reso, method="forward_occ"))(
+        variables, imgs, l2i)
+    ev = GridOccEvaluator(model, variables, shard=True)
+    assert ev.n_shard == len(jax.devices())
+    got = ev.forward_occ(imgs, l2i, aabb, reso)
+
+    for k in ("sdf", "sem", "logits", "xyz"):
+        assert k in got and k in ref
+        assert np.asarray(got[k]).shape == np.asarray(ref[k]).shape
+        # ~1e-6 float reassociation: forward_occ fuses decode+query in ONE
+        # jit, the evaluator splits prepare/query into two compilations
+        np.testing.assert_allclose(np.asarray(got[k]),
+                                   np.asarray(ref[k]), atol=1e-5)
+
+
 def test_camera_kwargs_threading():
     """camera_kwargs: {} for plain configs; intrinsic/cam2ego (batched) for
     camera-aware ones, threaded through ChunkedRenderer.prepare (ADVICE r2:

@@ -17,6 +17,51 @@ def test_sem_teacher_roundtrip(tmp_path):
     assert batch.shape == (2, 32, 48)
 
 
+def test_user_teacher_lut_wiring(tmp_path):
+    """A user-supplied teacher in a NON-OpenSeeD label space plugs in via
+    the ``lut`` argument (docs/PARITY.md teacher caveat): SemTeacher remaps
+    precomputed maps through it, callables work too, and the default stays
+    the openseed->nuscenes LUT."""
+    from selfocc_tpu.utils.metrics import openseed2nuscenes
+    from selfocc_tpu.utils.openseed_utils import SemTeacher, apply_label_lut
+
+    sem = np.arange(12, dtype=np.uint8).reshape(3, 4) % 5
+    np.save(tmp_path / "cam0.jpg.npy", sem)
+
+    # custom 5-class teacher space -> 3-class training space
+    lut = np.array([0, 2, 2, 1, 0], np.int64)
+    t = SemTeacher(str(tmp_path), lut=lut)
+    np.testing.assert_array_equal(t.load_sem_map("/x/cam0.jpg"), lut[sem])
+
+    # callable LUT
+    t2 = SemTeacher(str(tmp_path), lut=lambda s: (s + 1) % 5)
+    np.testing.assert_array_equal(t2.load_sem_map("/x/cam0.jpg"),
+                                  (sem + 1) % 5)
+
+    # default = openseed->nuscenes (the reference's remap)
+    t3 = SemTeacher(str(tmp_path))
+    np.testing.assert_array_equal(t3.load_sem_map("/x/cam0.jpg"),
+                                  openseed2nuscenes(sem))
+
+    # out-of-range teacher ids clamp instead of crashing
+    np.testing.assert_array_equal(
+        apply_label_lut(np.array([0, 4, 99]), lut), np.array([0, 0, 0]))
+
+
+def test_jax_teacher_lut_applied():
+    """JaxSemTeacher applies a user LUT to its argmax maps (wiring only —
+    the forward is stubbed; the real model is HF-goldened elsewhere)."""
+    from selfocc_tpu.utils.openseed_utils import JaxSemTeacher
+
+    t = JaxSemTeacher.__new__(JaxSemTeacher)   # skip the heavy model build
+    t.variables = None
+    t.lut = np.array([5, 6, 7], np.int64)
+    t._forward = lambda v, imgs, size: np.zeros((1,) + size, np.uint8) + 2
+    out = t(np.zeros((1, 8, 8, 3)), size=(4, 4))
+    assert out.shape == (1, 4, 4)
+    assert (out == 7).all()
+
+
 def test_sem_teacher_unavailable(tmp_path):
     from selfocc_tpu.utils.openseed_utils import SemTeacher
     t = SemTeacher(str(tmp_path / "nope"))

@@ -20,9 +20,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def fetch(x):
+    """Axon-safe forced sync of a SMALL array. block_until_ready can return
+    before execution completes under the axon tunnel, so force a host fetch —
+    but only of a scalar: fetching the full gathered (rows, C) output would
+    time the 100s-of-MB host transfer, not the gather."""
     import jax
     jax.block_until_ready(x)
-    return float(np.asarray(x).reshape(-1)[0])  # axon-safe forced sync
+    return float(np.asarray(x).reshape(-1)[0])
 
 
 def main():
@@ -39,6 +43,10 @@ def main():
     ap.add_argument("--block", type=int, default=512)
     ap.add_argument("--inflight", type=int, default=16)
     ap.add_argument("--repeat", type=int, default=5)
+    ap.add_argument("--skip-pallas", action="store_true",
+                    help="XLA baselines only (a Pallas remote-compile crash "
+                         "wounds the axon tunnel for minutes — run XLA "
+                         "timings in a clean process first)")
     args = ap.parse_args()
 
     import jax
@@ -61,20 +69,33 @@ def main():
             ts.append(time.time() - t0)
         return float(np.median(ts))
 
+    # reduce INSIDE the jit so only a scalar crosses the tunnel; the sum
+    # consumes every gathered row, so the gather cannot be DCE'd
     results = {}
-    take = jax.jit(lambda t, i: jnp.take(t, i, axis=0))
+    take = jax.jit(
+        lambda t, i: jnp.take(t, i, axis=0).astype(jnp.float32).sum())
     results["xla_take_rows_per_sec_m"] = round(
         args.rows / timed(take, table, idx) / 1e6, 1)
 
     # channel-first column gather — the production ops/interp.py layout
     table_cf = jnp.asarray(np.asarray(table).T.copy())
-    take_cf = jax.jit(lambda t, i: jnp.take(t, i, axis=1))
+    take_cf = jax.jit(
+        lambda t, i: jnp.take(t, i, axis=1).astype(jnp.float32).sum())
     results["xla_take_cf_rows_per_sec_m"] = round(
         args.rows / timed(take_cf, table_cf, idx) / 1e6, 1)
 
+    if args.skip_pallas:
+        results.update(rows=args.rows, channels=args.channels,
+                       dtype=args.dtype)
+        print(json.dumps(results))
+        return
+
     try:
-        dt = timed(gather_rows, table, idx, block=args.block,
-                   inflight=args.inflight)
+        gather_sum = jax.jit(
+            lambda t, i: gather_rows(
+                t, i, block=args.block,
+                inflight=args.inflight).astype(jnp.float32).sum())
+        dt = timed(gather_sum, table, idx)
         results["pallas_dma_rows_per_sec_m"] = round(
             args.rows / dt / 1e6, 1)
     except Exception as e:            # remote compiler has crashed on some
