@@ -39,6 +39,16 @@ class EncoderConfig:
     # count fits the capacity; 1.0 = dense. Scalar or per-plane
     # (hw, zh, wz) tuple.
     cross_visible_capacity: Any = 1.0
+    # bf16 attention value payloads with fp32 accumulation: halves gather
+    # bytes while KEEPING per-head reference semantics (locations, weights
+    # and projective math stay fp32; only the gathered payload rounds to
+    # bf16 — ~1e-2 relative on the attention output). The exact-recipe
+    # prepare-latency lever (docs/PERFORMANCE.md).
+    attn_value_bf16: bool = False
+    # exact corner-bundled MSDA gathers: "none" | "pairs" (2 rows/point) |
+    # "full" (1 row/point). Pure fp reassociation; opt-in pending the
+    # remote-TPU-compiler retest (docs/PERFORMANCE.md MSDA section).
+    msda_bundle: str = "none"
     # per-plane FFN/norm parameter sets (reference MultiPlaneFFN/Norm,
     # modules/split_fpn.py + split_norm.py; off in shipped configs)
     multi_plane_ffn_norm: bool = False

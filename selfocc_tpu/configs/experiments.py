@@ -470,6 +470,54 @@ def nuscenes_occ_compact_train() -> Config:
                                model=model)
 
 
+def nuscenes_occ_compact_bf16() -> Config:
+    """``nuscenes_occ_compact`` with bf16 attention VALUE payloads
+    (fp32 accumulation): per-head reference SEMANTICS are kept — sampling
+    locations, attention weights and all projective math stay fp32; only the
+    gathered image-feature payload rounds to bf16 (~1e-2 relative on the
+    attention output, tests/test_encoder_extras.py). The deformable gathers
+    that dominate the exact-recipe prepare are byte-bound, so this is the
+    measured single-chip latency lever that does NOT change which points each
+    head samples (VERDICT r3 #3)."""
+    cfg = nuscenes_occ_compact()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, attn_value_bf16=True))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_bf16",
+                               model=model)
+
+
+def nuscenes_occ_compact_pairs() -> Config:
+    """``nuscenes_occ_compact`` with x-pair-bundled MSDA gathers
+    (``msda_bundle="pairs"``, ops/msda.py): 2 gather rows per sampling point
+    instead of 4, pure fp reassociation — bit-compatible semantics. Separate
+    recipe (not folded into compact) because the FULL corner bundle crashes
+    the remote TPU compiler at flagship scale; this is the smaller-program
+    fallback under retest (VERDICT r3 #9)."""
+    cfg = nuscenes_occ_compact()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, msda_bundle="pairs"))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_pairs",
+                               model=model)
+
+
+def nuscenes_occ_compact_bundle() -> Config:
+    """``nuscenes_occ_compact`` with FULL 2x2 corner-bundled MSDA gathers
+    (1 row/point, exact reassociation) — the VERDICT r3 #9 compiler-crash
+    retest recipe. If this compiles on the current toolchain it supersedes
+    ``_pairs``; history of the crash in docs/PERFORMANCE.md."""
+    cfg = nuscenes_occ_compact()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, msda_bundle="full"))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_bundle",
+                               model=model)
+
+
 def nuscenes_occ_fast() -> Config:
     """TPU fast recipe: the flagship ``nuscenes_occ`` with the two measured
     speed modes enabled — head-shared deformable sampling locations
@@ -508,6 +556,9 @@ _CONFIGS = {
     "nuscenes_occ_density": nuscenes_occ_density,
     "nuscenes_occ_compact": nuscenes_occ_compact,
     "nuscenes_occ_compact_train": nuscenes_occ_compact_train,
+    "nuscenes_occ_compact_bf16": nuscenes_occ_compact_bf16,
+    "nuscenes_occ_compact_pairs": nuscenes_occ_compact_pairs,
+    "nuscenes_occ_compact_bundle": nuscenes_occ_compact_bundle,
 }
 
 

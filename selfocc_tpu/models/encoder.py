@@ -230,6 +230,11 @@ class CrossViewHybridAttention(nn.Module):
     dropout: float = 0.1
     query_chunk: int = 0
     shared_locations: bool = False
+    # bf16 gathered payloads with fp32 accumulation (halves gather bytes at
+    # per-head reference semantics; ~bf16 rounding on the attention output)
+    value_bf16: bool = False
+    # exact corner-bundled gathers: "none" | "pairs" | "full" (ops/msda.py)
+    bundle: str = "none"
 
     @nn.compact
     def __call__(self, query, query_pos, ref_points, spatial_shapes,
@@ -243,6 +248,8 @@ class CrossViewHybridAttention(nn.Module):
         value = nn.Dense(C, kernel_init=_xavier_uniform(),
                          name="value_proj")(query)
         value = value.reshape(B, Q, H, D)
+        if self.value_bf16:
+            value = value.astype(jnp.bfloat16)
         q = query + query_pos
         offsets, attn = DeformHeads(
             self.embed_dims, H, 3, self.num_points,
@@ -254,7 +261,8 @@ class CrossViewHybridAttention(nn.Module):
             offsets / normalizer[None, None, None, :, None, :]
         out = ms_deform_attn(value, spatial_shapes, loc, attn,
                              query_chunk=self.query_chunk,
-                             shared_locations=self.shared_locations)
+                             shared_locations=self.shared_locations,
+                             bundle_corners=self.bundle)
         out = nn.Dense(C, kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -289,6 +297,10 @@ class BEVCrossAttention(nn.Module):
     # overflow count is sown to 'intermediates/visible_overflow'); 1.0 =
     # fully dense.
     visible_capacity: float = 1.0
+    # bf16 gathered payloads with fp32 accumulation (see CrossViewHybrid)
+    value_bf16: bool = False
+    # exact corner-bundled gathers: "none" | "pairs" | "full" (ops/msda.py)
+    bundle: str = "none"
 
     @nn.compact
     def __call__(self, query, value, ref_cams, masks, spatial_shapes,
@@ -304,6 +316,8 @@ class BEVCrossAttention(nn.Module):
 
         v = nn.Dense(C, kernel_init=_xavier_uniform(), name="value_proj")(value)
         v = v.reshape(cams, -1, H, D)
+        if self.value_bf16:
+            v = v.astype(jnp.bfloat16)
         offsets, attn = DeformHeads(
             self.embed_dims, H, self.num_levels, self.num_points,
             scale_offset_bias=False,
@@ -332,7 +346,8 @@ class BEVCrossAttention(nn.Module):
                 off_sel / normalizer[None, None, None, :, None, :]
             out_m = ms_deform_attn(v, spatial_shapes, loc, attn_sel,
                                    query_chunk=self.query_chunk,
-                                   shared_locations=self.shared_locations)
+                                   shared_locations=self.shared_locations,
+                                   bundle_corners=self.bundle)
             w_sel = hit_sel.astype(out_m.dtype)
             contrib = (out_m * w_sel[..., None]).reshape(cams * M, C)
             slots = jnp.zeros((Q, C), out_m.dtype).at[
@@ -350,7 +365,8 @@ class BEVCrossAttention(nn.Module):
             attn_c = jnp.broadcast_to(attn[0][None], (cams,) + attn.shape[1:])
             out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
                                  query_chunk=self.query_chunk,
-                                 shared_locations=self.shared_locations)
+                                 shared_locations=self.shared_locations,
+                                 bundle_corners=self.bundle)
             hitf = hit.astype(out.dtype)                     # (cams, Q)
             slots = (out * hitf[..., None]).sum(0)           # (Q, C)
             count = jnp.maximum(hitf.sum(0), 1.0)
@@ -406,6 +422,10 @@ class TPVFormerLayer(nn.Module):
     shared_locations: bool = False
     # scalar, or one capacity per plane (hw, zh, wz)
     visible_capacity: Any = 1.0
+    # bf16 attention value payloads, fp32 accumulation (both attentions)
+    attn_value_bf16: bool = False
+    # exact corner-bundled MSDA gathers: "none" | "pairs" | "full"
+    msda_bundle: str = "none"
     # per-plane norm/FFN parameter sets (reference MultiPlaneNorm /
     # MultiPlaneFFN, modules/split_norm.py + split_fpn.py; off in shipped
     # configs)
@@ -444,6 +464,7 @@ class TPVFormerLayer(nn.Module):
             self.embed_dims, self.num_heads, self.num_points_self,
             dropout=self.dropout, query_chunk=self.self_query_chunk,
             shared_locations=self.shared_locations,
+            value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
             name="self_attn")(
                 q, pos, cross_view_ref, plane_shapes,
                 deterministic=deterministic)
@@ -469,6 +490,7 @@ class TPVFormerLayer(nn.Module):
                 query_chunk=chunk,
                 shared_locations=self.shared_locations,
                 visible_capacity=vc,
+                value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -502,6 +524,8 @@ class DeformableSelfAttention(nn.Module):
     num_points: int
     dropout: float = 0.1
     query_chunk: int = 0
+    value_bf16: bool = False
+    bundle: str = "none"
 
     @nn.compact
     def __call__(self, query, query_pos, ref_2d, spatial_shape,
@@ -514,6 +538,8 @@ class DeformableSelfAttention(nn.Module):
             identity = query
         value = nn.Dense(C, kernel_init=_xavier_uniform(),
                          name="value_proj")(query).reshape(B, Q, H, D)
+        if self.value_bf16:
+            value = value.astype(jnp.bfloat16)
         q = query + query_pos
         offsets, attn = DeformHeads(
             self.embed_dims, H, 1, self.num_points,
@@ -523,7 +549,8 @@ class DeformableSelfAttention(nn.Module):
         loc = ref_2d[None, :, None, None, None, :] + \
             offsets / normalizer[None, None, None, :, None, :]
         out = ms_deform_attn(value, (spatial_shape,), loc, attn,
-                             query_chunk=self.query_chunk)
+                             query_chunk=self.query_chunk,
+                             bundle_corners=self.bundle)
         out = nn.Dense(C, kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -547,6 +574,8 @@ class BEVFormerLayer(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     visible_capacity: float = 1.0
+    attn_value_bf16: bool = False
+    msda_bundle: str = "none"
     deterministic: bool = True
 
     @nn.compact
@@ -556,6 +585,7 @@ class BEVFormerLayer(nn.Module):
         q = DeformableSelfAttention(
             self.embed_dims, self.num_heads, self.num_points_self,
             dropout=self.dropout, query_chunk=self.self_query_chunk,
+            value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
             name="self_attn")(q, bev_pos, ref_2d, (H, W),
                               deterministic=self.deterministic)
         q = nn.LayerNorm(name="norm1")(q)
@@ -563,7 +593,9 @@ class BEVFormerLayer(nn.Module):
             self.embed_dims, self.num_heads, self.num_levels,
             self.num_points_cross, dropout=self.dropout,
             query_chunk=self.cross_query_chunk,
-            visible_capacity=self.visible_capacity, name="cross_attn")(
+            visible_capacity=self.visible_capacity,
+            value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
+            name="cross_attn")(
                 q, value, ref_cams, masks, tuple(self.img_spatial_shapes),
                 deterministic=self.deterministic)
         q = nn.LayerNorm(name="norm2")(q)
@@ -594,6 +626,8 @@ class BEVFormerEncoder(nn.Module):
     self_query_chunk: int = 0
     cross_query_chunk: int = 0
     visible_capacity: float = 1.0
+    attn_value_bf16: bool = False
+    msda_bundle: str = "none"
 
     @nn.compact
     def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
@@ -684,6 +718,8 @@ class BEVFormerEncoder(nn.Module):
             dropout=self.dropout, self_query_chunk=self.self_query_chunk,
             cross_query_chunk=self.cross_query_chunk,
             visible_capacity=self.visible_capacity,
+            attn_value_bf16=self.attn_value_bf16,
+            msda_bundle=self.msda_bundle,
             deterministic=deterministic, name="layers")
         rep = representation if not isinstance(representation, (list, tuple)) \
             else representation[0]
@@ -744,6 +780,13 @@ class TPVFormerEncoder(nn.Module):
     shared_locations: bool = False   # TPU fast attention (see DeformHeads)
     # cross-attn visibility compaction: scalar or per-plane (hw, zh, wz)
     visible_capacity: Any = 1.0
+    # bf16 attention value payloads with fp32 accumulation: halves gather
+    # bytes at per-head reference SEMANTICS (sampling locations/weights and
+    # all projective math stay fp32; the gathered payload rounds to bf16)
+    attn_value_bf16: bool = False
+    # exact corner-bundled MSDA gathers ("pairs"/"full", ops/msda.py) —
+    # reassociation-only, opt-in pending the remote-compiler retest
+    msda_bundle: str = "none"
     multi_plane_ffn_norm: bool = False
     camera_aware: bool = False       # CameraAwareSE image-feature gating
     camera_aware_mid_channels: Optional[int] = None
@@ -872,6 +915,8 @@ class TPVFormerEncoder(nn.Module):
             cross_query_chunk=self.cross_query_chunk,
             shared_locations=self.shared_locations,
             visible_capacity=self.visible_capacity,
+            attn_value_bf16=self.attn_value_bf16,
+            msda_bundle=self.msda_bundle,
             multi_plane_ffn_norm=self.multi_plane_ffn_norm,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,

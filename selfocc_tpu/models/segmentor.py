@@ -85,6 +85,8 @@ class TPVSegmentor(nn.Module):
                 self_query_chunk=e.self_query_chunk,
                 cross_query_chunk=e.cross_query_chunk,
                 visible_capacity=e.cross_visible_capacity,
+                attn_value_bf16=e.attn_value_bf16,
+                msda_bundle=e.msda_bundle,
                 remat_layers=e.remat_layers,
                 name="encoder")
             h = c.head
@@ -103,6 +105,8 @@ class TPVSegmentor(nn.Module):
             cross_query_chunk=e.cross_query_chunk,
             shared_locations=e.shared_locations,
             visible_capacity=e.cross_visible_capacity,
+            attn_value_bf16=e.attn_value_bf16,
+            msda_bundle=e.msda_bundle,
             remat_layers=e.remat_layers,
             multi_plane_ffn_norm=e.multi_plane_ffn_norm,
             camera_aware=e.camera_aware,

@@ -80,6 +80,20 @@ def _bundle_corners_2d(v, h, w):
     return jnp.concatenate(blocks, axis=1).reshape(BH, 4 * C, h * w)
 
 
+def _bundle_pairs_x(v, h, w):
+    """(BH, C, h*w) -> (BH, 2C, h*w): row i carries the x-adjacent pixel pair
+    [(y, x), (y, x+1)] (last column's +1 slot zero-padded, never read with
+    nonzero weight — the gather base is clamped to [0, w-2]). Half-measure
+    between the per-corner path (4 rows/point) and the full 2x2 bundle
+    (1 row/point): 2 rows/point with a 2C payload and a much smaller composed
+    program — a fallback formulation for the remote-compiler crash the full
+    bundle triggers at flagship scale (docs/PERFORMANCE.md)."""
+    BH, C = v.shape[0], v.shape[1]
+    vi = v.reshape(BH, C, h, w)
+    s = jnp.pad(vi[:, :, :, 1:], ((0, 0), (0, 0), (0, 0), (0, 1)))
+    return jnp.concatenate([vi, s], axis=1).reshape(BH, 2 * C, h * w)
+
+
 def _axis_block_weights(base, i0, frac):
     """Zeros-padding bilinear weights re-expressed on the clamped physical
     2-slot block (same scheme as ``interp._block_weights``): slot s at
@@ -118,8 +132,33 @@ def _bilinear_gather_cf_bundled(vb, xy, h, w, C):
     return out.reshape(C, Q, P)
 
 
+def _bilinear_gather_cf_pairs(vp, xy, h, w, C):
+    """x-pair-bundled bilinear gather: vp (2C, h*w), xy (Q, P, 2) fractional
+    pixel coords -> (C, Q, P). TWO gather rows per point (top and bottom
+    y-corner, each fetching its x-pair). Channel blocks SLICED, never
+    reshaped (see ``_bilinear_gather_cf_bundled``)."""
+    Q, P = xy.shape[0], xy.shape[1]
+    x, y = xy[..., 0].reshape(-1), xy[..., 1].reshape(-1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx, fy = x - x0, y - y0
+    x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+    bx = jnp.clip(x0i, 0, max(w - 2, 0))
+    wx0, wx1 = _axis_block_weights(bx, x0i, fx)
+    dt = vp.dtype
+    out = None
+    for yi, wyi in ((y0i, 1.0 - fy), (y0i + 1, fy)):
+        valid_y = (yi >= 0) & (yi <= h - 1)
+        lin = jnp.clip(yi, 0, h - 1) * w + bx
+        g = jnp.take(vp, lin, axis=1)                     # (2C, QP)
+        term = (wyi * valid_y * wx0)[None].astype(dt) * g[0:C] \
+            + (wyi * valid_y * wx1)[None].astype(dt) * g[C:2 * C]
+        out = term if out is None else out + term
+    return out.reshape(C, Q, P)
+
+
 def _msda_dense(value_levels, sampling_locations, attention_weights,
-                spatial_shapes, bundle_corners: bool = False):
+                spatial_shapes, bundle_corners="none"):
     """Unchunked core. value_levels: list of (B, H, h, w, D).
 
     Each level's gather+reduce is a ``jax.checkpoint`` region: the backward
@@ -127,41 +166,61 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
     (observed 45 GB HLO temp on the flagship train step) — recomputing them
     level-by-level bounds the peak to one level.
 
-    ``bundle_corners`` packs the 2x2 corner block into channels so each
-    sampling point costs ONE gather row (4D payload) instead of 4 (D payload)
-    — numerically identical to fp reassociation. OPT-IN (default False): at
-    flagship scale the bundled program reliably faults the TPU runtime
-    ("UNAVAILABLE: TPU device error" at first execution, reproduced twice on
-    v5e via bench --frame nuscenes_occ; the unbundled program runs clean).
-    Golden-tested numerically either way (tests/test_msda.py)."""
+    The attention reduction always accumulates fp32 (``einsum`` with
+    ``preferred_element_type``); the gathered payload keeps the value dtype,
+    so casting values to bf16 upstream (``attn_value_bf16``) halves gather
+    bytes while the output stays fp32 — the render's bf16-volume recipe
+    applied to deformable attention (docs/PERFORMANCE.md).
+
+    ``bundle_corners`` ("full"/True) packs the 2x2 corner block into channels
+    so each sampling point costs ONE gather row (4D payload) instead of 4
+    (D payload); "pairs" packs only the x-adjacent pair (2 rows/point, 2D
+    payload) — both numerically identical to fp reassociation. OPT-IN
+    (default "none"): at flagship scale the FULL-bundled program reliably
+    faults the TPU runtime ("UNAVAILABLE: TPU device error" at first
+    execution, reproduced 3x on v5e via bench --frame nuscenes_occ; the
+    unbundled program runs clean); "pairs" is the smaller-program fallback
+    formulation for the retest. Golden-tested numerically in all modes
+    (tests/test_msda.py)."""
+    if bundle_corners is True:
+        bundle_corners = "full"
+    elif not bundle_corners:
+        bundle_corners = "none"
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
 
     def level_term(v, loc, w_l, h, w):
         xy = loc * jnp.array([w, h], dtype=loc.dtype) - 0.5
         xy = jnp.moveaxis(xy, 2, 1).reshape(B * H, Q, P, 2)
-        if bundle_corners:
-            vb = _bundle_corners_2d(v, h, w)
-            # chunk the point axis by 4: the bundled gather result is 4x
-            # fatter (4D channels) than a per-corner gather, so an unchunked
-            # (B*H, 4D, Q*P) transient OOMs the flagship forward (observed
-            # 19 GB); quartering P keeps the live transient at the
-            # per-corner path's size while retaining the 4x row reduction.
-            pc = max(P // 4, 1)
-            out_l = jnp.zeros((B * H, Q, D), dtype=v.dtype)
+        if bundle_corners != "none":
+            if bundle_corners == "full":
+                vb, fan, fn = _bundle_corners_2d(v, h, w), 4, \
+                    _bilinear_gather_cf_bundled
+            else:
+                vb, fan, fn = _bundle_pairs_x(v, h, w), 2, \
+                    _bilinear_gather_cf_pairs
+            # chunk the point axis by the bundle fan-out: the bundled gather
+            # result is fan-x fatter (fan*D channels) than a per-corner
+            # gather, so an unchunked (B*H, fan*D, Q*P) transient OOMs the
+            # flagship forward (observed 19 GB); dividing P keeps the live
+            # transient at the per-corner path's size while retaining the
+            # fan-x row reduction.
+            pc = max(P // fan, 1)
+            out_l = jnp.zeros((B * H, Q, D), dtype=jnp.float32)
             for p0 in range(0, P, pc):
                 samp = jax.vmap(
-                    lambda vf, c: _bilinear_gather_cf_bundled(
-                        vf, c, h, w, D))(vb, xy[:, :, p0:p0 + pc])
-                out_l = out_l + jnp.einsum('bdqp,bqp->bqd', samp,
-                                           w_l[:, :, p0:p0 + pc])
+                    lambda vf, c: fn(vf, c, h, w, D))(vb, xy[:, :, p0:p0 + pc])
+                out_l = out_l + jnp.einsum(
+                    'bdqp,bqp->bqd', samp, w_l[:, :, p0:p0 + pc],
+                    preferred_element_type=jnp.float32)
             return out_l
         samp = jax.vmap(
             lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
         # samp: (B*H, D, Q, P)
-        return jnp.einsum('bdqp,bqp->bqd', samp, w_l)
+        return jnp.einsum('bdqp,bqp->bqd', samp, w_l,
+                          preferred_element_type=jnp.float32)
 
-    out = jnp.zeros((B * H, Q, D), dtype=value_levels[0].dtype)
+    out = jnp.zeros((B * H, Q, D), dtype=jnp.float32)
     for lvl, (h, w) in enumerate(spatial_shapes):
         # (B*H, D, h*w): payload channel-first, gather axis last
         v = value_levels[lvl].reshape(B * H, h * w, D).swapaxes(1, 2)
@@ -228,7 +287,7 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    query_chunk: int = 0, shared_locations: bool = False,
-                   bundle_corners: bool = False):
+                   bundle_corners="none"):
     """Multi-scale deformable attention.
 
     Args:
@@ -242,9 +301,12 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
       shared_locations: all heads sample head-0's locations (TPU fast mode,
         see ``DeformHeads.shared_locations``) — one gather per point with the
         full H*D payload.
+      bundle_corners: "none" (default), "pairs" (x-pair rows, 2 gather rows
+        per point) or "full"/True (2x2 corner rows, 1 gather row per point).
+        Exact reassociations of the 4-corner computation; see ``_msda_dense``.
 
     Returns:
-      (B, Q, H * D).
+      (B, Q, H * D) — fp32 accumulation regardless of the value dtype.
     """
     spatial_shapes = tuple((int(h), int(w)) for h, w in spatial_shapes)
     B, L, H, D = value.shape

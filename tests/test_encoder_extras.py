@@ -192,3 +192,66 @@ def test_visible_capacity_composes_with_shared_locations():
     for a, b in zip(rep_s, rep_c):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=1e-2)  # bf16 fast path
+
+
+def _rep_with_shared_params(cfg_variant, variables, cams_imgs):
+    cams, imgs = cams_imgs
+    model = TPVSegmentor(cfg_variant.model)
+    return model.apply(variables, imgs, cams["lidar2img"], train=False,
+                       method="get_representation")
+
+
+def test_attn_value_bf16_close_and_compaction_still_exact():
+    """attn_value_bf16 (the exact-recipe prepare-latency lever, VERDICT r3
+    #3): per-head semantics kept, only the gathered payload rounds to bf16 —
+    the encoder output stays within bf16 rounding of the fp32 path, and the
+    visibility-compaction == dense equality is preserved UNDER bf16 (both
+    sides compute the identical per-(camera, query) terms)."""
+    cfg_d = tiny_config()
+    cfg_b = tiny_config(enc_kw=dict(attn_value_bf16=True))
+    cfg_bc = tiny_config(enc_kw=dict(attn_value_bf16=True,
+                                     cross_visible_capacity=0.75))
+    model_d = TPVSegmentor(cfg_d.model)
+    cams = make_cameras(cfg_d.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(2).rand(1, cfg_d.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_d.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+    rep_d = model_d.apply(variables, imgs, cams["lidar2img"], train=False,
+                          method="get_representation")
+    rep_b = _rep_with_shared_params(cfg_b, variables, (cams, imgs))
+    rep_bc = _rep_with_shared_params(cfg_bc, variables, (cams, imgs))
+    for a, b in zip(rep_d, rep_b):
+        # bf16 payload rounding only — post-LayerNorm outputs stay close
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-2, rtol=5e-2)
+    for b, c in zip(rep_b, rep_bc):
+        # compaction under bf16 remains the dense bf16 computation
+        np.testing.assert_allclose(np.asarray(b), np.asarray(c),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_msda_bundle_modes_match_default():
+    """msda_bundle="pairs"/"full" are pure fp reassociations of the per-head
+    gathers — encoder outputs match the unbundled path to fp tolerance."""
+    cfg_d = tiny_config()
+    model_d = TPVSegmentor(cfg_d.model)
+    cams = make_cameras(cfg_d.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(3).rand(1, cfg_d.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_d.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+    rep_d = model_d.apply(variables, imgs, cams["lidar2img"], train=False,
+                          method="get_representation")
+    for mode in ("pairs", "full"):
+        cfg_m = tiny_config(enc_kw=dict(msda_bundle=mode))
+        rep_m = _rep_with_shared_params(cfg_m, variables, (cams, imgs))
+        for a, b in zip(rep_d, rep_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=mode)

@@ -85,3 +85,32 @@ def test_msda_bundled_corners_matches_torch():
     ref = torch_msda(torch.from_numpy(value), shapes,
                      torch.from_numpy(loc), torch.from_numpy(att)).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msda_pair_bundled_matches_torch():
+    """"pairs" bundling (x-adjacent rows, 2 gather rows per point) is exactly
+    the 4-corner computation reassociated — golden vs the torch fallback."""
+    value, loc, att, shapes = _random_case(7)
+    ours = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att),
+        bundle_corners="pairs"))
+    ref = torch_msda(torch.from_numpy(value), shapes,
+                     torch.from_numpy(loc), torch.from_numpy(att)).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_msda_bf16_values_fp32_accumulate():
+    """bf16 value payloads (the attn_value_bf16 lever): locations/weights
+    stay fp32, the gathered payload rounds to bf16, the attention reduction
+    accumulates fp32 — output is fp32 and within bf16 rounding of the fp32
+    path, in every bundle mode."""
+    value, loc, att, shapes = _random_case(11)
+    ref = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc), jnp.asarray(att)))
+    for bundle in ("none", "pairs", "full"):
+        out = ms_deform_attn(
+            jnp.asarray(value).astype(jnp.bfloat16), shapes,
+            jnp.asarray(loc), jnp.asarray(att), bundle_corners=bundle)
+        assert out.dtype == jnp.float32, bundle
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=2e-2, rtol=2e-2, err_msg=bundle)
