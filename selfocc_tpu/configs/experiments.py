@@ -518,6 +518,20 @@ def nuscenes_occ_compact_bundle() -> Config:
                                model=model)
 
 
+def nuscenes_occ_compact_bf16_pairs() -> Config:
+    """Both single-chip exact-recipe levers composed: bf16 value payloads
+    (fp32 accumulation) + x-pair-bundled gathers. Per-head reference
+    semantics; deviation is bf16 payload rounding only (the pair bundle is
+    exact reassociation)."""
+    cfg = nuscenes_occ_compact()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, attn_value_bf16=True, msda_bundle="pairs"))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_bf16_pairs",
+                               model=model)
+
+
 def nuscenes_occ_fast() -> Config:
     """TPU fast recipe: the flagship ``nuscenes_occ`` with the two measured
     speed modes enabled — head-shared deformable sampling locations
@@ -559,6 +573,7 @@ _CONFIGS = {
     "nuscenes_occ_compact_bf16": nuscenes_occ_compact_bf16,
     "nuscenes_occ_compact_pairs": nuscenes_occ_compact_pairs,
     "nuscenes_occ_compact_bundle": nuscenes_occ_compact_bundle,
+    "nuscenes_occ_compact_bf16_pairs": nuscenes_occ_compact_bf16_pairs,
 }
 
 

@@ -43,6 +43,12 @@ timeout 3600 python bench.py --frame nuscenes_occ_compact_pairs \
 echo "$(date -u +%FT%TZ) compact_pairs rc=$?" >> "$OUT/status.log"
 
 probe
+echo "$(date -u +%FT%TZ) frame compact_bf16_pairs (composed levers)" >> "$OUT/status.log"
+timeout 3600 python bench.py --frame nuscenes_occ_compact_bf16_pairs \
+  > "$OUT/bench_r4_bf16_pairs.json" 2> "$OUT/bench_r4_bf16_pairs.log"
+echo "$(date -u +%FT%TZ) compact_bf16_pairs rc=$?" >> "$OUT/status.log"
+
+probe
 echo "$(date -u +%FT%TZ) frame compact_bundle (crash retest — LAST)" >> "$OUT/status.log"
 timeout 3600 python bench.py --frame nuscenes_occ_compact_bundle \
   > "$OUT/bench_r4_bundle.json" 2> "$OUT/bench_r4_bundle.log"
