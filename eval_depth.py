@@ -76,14 +76,9 @@ def main():
         raise SystemExit("--depth-metric-tgt median: the reference's median "
                          "depth render is dead code (see --help); use raw "
                          "(median-scaled column included) or max")
-    if args.depth_metric_tgt == "max" and not cfg.model.head.return_max_depth:
-        # output-only flag — same param tree, so checkpoints restore as-is
-        import dataclasses
-        from selfocc_tpu.models.segmentor import TPVSegmentor
-        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-            cfg.model, head=dataclasses.replace(
-                cfg.model.head, return_max_depth=True)))
-        model = TPVSegmentor(cfg=cfg.model)
+    if args.depth_metric_tgt == "max":
+        from selfocc_tpu.utils.eval_lib import enable_max_depth
+        cfg, model = enable_max_depth(cfg)
 
     from train import get_dataloader
     ds = get_dataloader(cfg, args.synthetic, phase="val")

@@ -26,6 +26,10 @@ def parse_args():
     ap.add_argument("--offsets", type=float, nargs="*",
                     default=[-2.0, -1.0, 1.0, 2.0],
                     help="synthetic ego offsets standing in for neighbors")
+    ap.add_argument("--depth-tgt", default="raw", choices=["raw", "max"],
+                    help="scored render: raw (expected depth) or max (the "
+                         "argmax-weight render, reference "
+                         "eval_novel_depth.py:174-177)")
     ap.add_argument("--seed", type=int, default=42)
     return ap.parse_args()
 
@@ -33,6 +37,7 @@ def parse_args():
 def main():
     args = parse_args()
     from selfocc_tpu.utils.eval_lib import (ChunkedRenderer,
+                                            enable_max_depth,
                                             load_model_for_eval,
                                             novel_eval_first_sample,
                                             restore_eval_variables,
@@ -40,6 +45,9 @@ def main():
     from selfocc_tpu.utils.logging_util import get_logger
 
     cfg, model = load_model_for_eval(args.py_config, args.ckpt_path)
+    depth_key = "depth" if args.depth_tgt == "raw" else "max_depth"
+    if args.depth_tgt == "max":
+        cfg, model = enable_max_depth(cfg)
     logger = get_logger(args.work_dir)
 
     # real novel-view eval dataset (reference eval_novel_depth.py:133-229 over
@@ -59,10 +67,11 @@ def main():
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
-                               outputs=("depth",))
+                               outputs=(depth_key,))
     run_novel_depth_eval(ds, real_ds is not None, cfg, renderer, logger,
                          num_samples=args.num_samples,
-                         offsets=tuple(args.offsets))
+                         offsets=tuple(args.offsets),
+                         depth_key=depth_key)
 
 
 if __name__ == "__main__":

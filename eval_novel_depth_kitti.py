@@ -19,10 +19,15 @@ def main():
     ap.add_argument("--batch", type=int, default=32768)
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--num-samples", type=int, default=0)
+    ap.add_argument("--depth-tgt", default="raw", choices=["raw", "max"],
+                    help="scored render: raw (expected depth) or max (the "
+                         "argmax-weight render, reference "
+                         "eval_novel_depth_kitti.py:70,176)")
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
     from selfocc_tpu.utils.eval_lib import (ChunkedRenderer,
+                                            enable_max_depth,
                                             load_model_for_eval,
                                             novel_eval_first_sample,
                                             restore_eval_variables,
@@ -30,6 +35,9 @@ def main():
     from selfocc_tpu.utils.logging_util import get_logger
 
     cfg, model = load_model_for_eval(args.py_config, args.ckpt_path)
+    depth_key = "depth" if args.depth_tgt == "raw" else "max_depth"
+    if args.depth_tgt == "max":
+        cfg, model = enable_max_depth(cfg)
     logger = get_logger(args.work_dir)
 
     # real Kitti_Novel_View_Eval (reference kitti_dataset_eval.py) when the
@@ -49,9 +57,10 @@ def main():
                                        args.seed,
                                        torch_ckpt=args.torch_ckpt)
     renderer = ChunkedRenderer(model, variables, chunk=args.batch,
-                               outputs=("depth",))
+                               outputs=(depth_key,))
     run_novel_depth_eval(ds, real_ds is not None, cfg, renderer, logger,
-                         num_samples=args.num_samples)
+                         num_samples=args.num_samples,
+                         depth_key=depth_key)
 
 
 if __name__ == "__main__":

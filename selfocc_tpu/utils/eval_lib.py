@@ -31,6 +31,18 @@ def load_model_for_eval(config_name: str, ckpt_path: str = ""):
     return cfg, model
 
 
+def enable_max_depth(cfg):
+    """Force ``return_max_depth`` on (the reference sets it in every
+    eval driver that scores the argmax-weight render, e.g.
+    ``eval_novel_depth.py:70``). Output-only flag — the param tree is
+    unchanged, so checkpoints restore as-is. Returns (cfg, model)."""
+    if not cfg.model.head.return_max_depth:
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, head=dataclasses.replace(
+                cfg.model.head, return_max_depth=True)))
+    return cfg, TPVSegmentor(cfg=cfg.model)
+
+
 def init_variables(model, cfg: Config, sample: Dict, seed: int = 42):
     from .train_lib import jit_init_on_cpu
     rng = jax.random.PRNGKey(seed)
@@ -369,12 +381,16 @@ def novel_eval_first_sample(ds, cfg, real: bool):
 
 
 def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
-                         num_samples: int = 0, offsets=(-2.0, -1.0, 1.0, 2.0)):
+                         num_samples: int = 0, offsets=(-2.0, -1.0, 1.0, 2.0),
+                         depth_key: str = "depth"):
     """Shared novel-view depth loop for ``eval_novel_depth[_kitti]``
     (reference ``eval_novel_depth.py:133-229``): decode the field once per
     sample, render depth from each temporal neighbor's poses
     (``render_img2lidar = temImg2lidars[src]``), and bucket depth errors by
-    ``ceil(source_distance)``. Returns the bucket dict and logs the table."""
+    ``ceil(source_distance)``. ``depth_key`` selects the scored render —
+    "depth" or "max_depth" (the reference's ``--depth-tgt raw|max``,
+    ``eval_novel_depth.py:174-177``). Returns the bucket dict and logs the
+    table."""
     import math
     from collections import defaultdict
 
@@ -410,7 +426,7 @@ def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
                 origin, direction = rays_for_cams(
                     jnp.asarray(tem, jnp.float32)[None], rays)
                 depth = renderer.render(volume, origin, direction)[
-                    "depth"].reshape(cfg.num_cams, rh, rw)
+                    depth_key].reshape(cfg.num_cams, rh, rw)
                 score(depth, np.asarray(metas["depth_loc"][j]),
                       metas["depth_gt"][j], metas["depth_mask"][j],
                       math.ceil(metas["frame_dists"][j]))
@@ -428,7 +444,7 @@ def run_novel_depth_eval(ds, real: bool, cfg, renderer, logger,
             origin, direction = rays_for_cams(
                 jnp.asarray(nb["temImg2lidar"]), rays)
             depth = renderer.render(volume, origin, direction)[
-                "depth"].reshape(cfg.num_cams, rh, rw)
+                depth_key].reshape(cfg.num_cams, rh, rw)
             score(depth, nb["depth_loc"], nb["depth_gt"], nb["depth_mask"],
                   math.ceil(nb["frame_dist"]))
         logger.info(f"[{i + 1}/{n}] rendered {len(offsets)} novel views")

@@ -56,6 +56,17 @@ def test_eval_novel_depth_driver(workdir, monkeypatch):
                             "--batch", "64", "--offsets", "1.0"], monkeypatch)
 
 
+def test_eval_novel_depth_max_target(workdir, monkeypatch):
+    """--depth-tgt max: scores the argmax-weight render in the novel-view
+    loop (reference eval_novel_depth.py:70,174-177), forcing
+    return_max_depth when the config omits it."""
+    import eval_novel_depth
+    _run(eval_novel_depth, ["--py-config", "tiny", "--work-dir", workdir,
+                            "--synthetic", "--num-samples", "1",
+                            "--batch", "64", "--offsets", "1.0",
+                            "--depth-tgt", "max"], monkeypatch)
+
+
 def test_eval_depth_max_target(workdir, monkeypatch, tmp_path):
     """--depth-metric-tgt max: scores the argmax-weight depth render
     (reference eval_depth.py:215-220 / neus_head.py:579-587) even when the
