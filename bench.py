@@ -22,15 +22,17 @@ docs/PERFORMANCE.md): expect LOW MFU and moderate HBM numbers — ``rows_per_sec
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
    "vs_baseline": N/400, "repeats": [...], "mfu": ..., "hbm_gbps": ...,
-   "frame_s": ..., "frame_exact_s": ..., "frame_exact_bf16_s": ...}
+   "frame_s": ..., "frame_exact_s": ...}
 
 The default run also measures the FULL per-frame eval latency (prepare:
 backbone -> encoder -> field decode, plus the 2.16M-ray depth render) through
 the real model for BOTH the TPU-fast recipe (``nuscenes_occ_fast``, merged as
-``frame_*``) and the reference-exact-semantics recipe (``nuscenes_occ_compact``,
-merged as ``frame_exact_*``; VERDICT r2 #9). ``--frame [CONFIG]`` measures only
-that, on any config — the reference anchor is the same 90-min GPU figure for
-one surround frame.
+``frame_*``) and the reference-exact-semantics recipe
+(``nuscenes_occ_compact_bundle`` — per-head math exactly reassociated into
+one corner-bundled gather row per point, the fastest exact recipe measured;
+VERDICT r2 #9 / r3 #3), merged as ``frame_exact_*``. ``--frame [CONFIG]``
+measures only that, on any config — the reference anchor is the same 90-min
+GPU figure for one surround frame.
 """
 import argparse
 import json
@@ -317,8 +319,16 @@ def main():
     try:
         # reference-exact semantics (per-head sampling locations; compaction
         # is exact given capacity) — the number the parity story rests on
+        # 2x2 corner-bundled MSDA gathers: exact per-head math reassociated
+        # (ONE gather row/point instead of 4) — the measured round-4 winner
+        # on the exact recipe's prepare (18.8 -> 7.9 s; VERDICT r3 #3). The
+        # round-3 "bundle crashes the compiler" history did NOT reproduce on
+        # the current toolchain (3 clean runs); bf16 value payloads measured
+        # speed-NEUTRAL (the per-head prepare is gather-ROW-bound, not
+        # bytes-bound) and bf16+pairs composed DOES fault the worker —
+        # full lever matrix in docs/PERFORMANCE.md.
         fargs = argparse.Namespace(**{**vars(args),
-                                 "frame": "nuscenes_occ_compact"})
+                                 "frame": "nuscenes_occ_compact_bundle"})
         frame = bench_frame(fargs)
         record.update({
             "frame_exact_config": frame["config"],
@@ -329,21 +339,6 @@ def main():
         })
     except Exception as e:   # pragma: no cover - depends on device state
         record["frame_exact_error"] = f"{type(e).__name__}: {e}"[:160]
-    try:
-        # exact per-head SEMANTICS with bf16 value payloads (fp32 accum) —
-        # the single-chip lever on the exact recipe's prepare (VERDICT r3 #3)
-        fargs = argparse.Namespace(**{**vars(args),
-                                 "frame": "nuscenes_occ_compact_bf16"})
-        frame = bench_frame(fargs)
-        record.update({
-            "frame_exact_bf16_config": frame["config"],
-            "frame_exact_bf16_s": frame["value"],
-            "frame_exact_bf16_prepare_s": frame["prepare_s"],
-            "frame_exact_bf16_render_s": frame["render_s"],
-            "frame_exact_bf16_vs_90min_gpu": frame["vs_baseline"],
-        })
-    except Exception as e:   # pragma: no cover - depends on device state
-        record["frame_exact_bf16_error"] = f"{type(e).__name__}: {e}"[:160]
     print(json.dumps(record))
 
 

@@ -475,10 +475,10 @@ def nuscenes_occ_compact_bf16() -> Config:
     (fp32 accumulation): per-head reference SEMANTICS are kept — sampling
     locations, attention weights and all projective math stay fp32; only the
     gathered image-feature payload rounds to bf16 (~1e-2 relative on the
-    attention output, tests/test_encoder_extras.py). The deformable gathers
-    that dominate the exact-recipe prepare are byte-bound, so this is the
-    measured single-chip latency lever that does NOT change which points each
-    head samples (VERDICT r3 #3)."""
+    attention output, tests/test_encoder_extras.py). MEASURED SPEED-NEUTRAL
+    on the exact prepare (16.8 vs 15.9 s same battery — the per-head gathers
+    are row-RATE-bound, not bytes-bound); kept as the memory lever it still
+    is (halves gather payload bytes). Use ``_bundle`` for latency."""
     cfg = nuscenes_occ_compact()
     model = dataclasses.replace(
         cfg.model,
@@ -491,10 +491,9 @@ def nuscenes_occ_compact_bf16() -> Config:
 def nuscenes_occ_compact_pairs() -> Config:
     """``nuscenes_occ_compact`` with x-pair-bundled MSDA gathers
     (``msda_bundle="pairs"``, ops/msda.py): 2 gather rows per sampling point
-    instead of 4, pure fp reassociation — bit-compatible semantics. Separate
-    recipe (not folded into compact) because the FULL corner bundle crashes
-    the remote TPU compiler at flagship scale; this is the smaller-program
-    fallback under retest (VERDICT r3 #9)."""
+    instead of 4, pure fp reassociation. Measured prepare 12.9 s vs 15.9
+    unbundled — the fallback recipe if a toolchain rejects the full bundle
+    (``_bundle``, 7.9 s, the measured winner)."""
     cfg = nuscenes_occ_compact()
     model = dataclasses.replace(
         cfg.model,
@@ -506,9 +505,12 @@ def nuscenes_occ_compact_pairs() -> Config:
 
 def nuscenes_occ_compact_bundle() -> Config:
     """``nuscenes_occ_compact`` with FULL 2x2 corner-bundled MSDA gathers
-    (1 row/point, exact reassociation) — the VERDICT r3 #9 compiler-crash
-    retest recipe. If this compiles on the current toolchain it supersedes
-    ``_pairs``; history of the crash in docs/PERFORMANCE.md."""
+    (1 row/point, exact reassociation) — THE reference-exact eval recipe:
+    prepare 18.8 -> 7.9 s, whole frame 13.8 s on one v5e (gradients also
+    parity-tested, tests/test_encoder_extras.py). The round-3 compiler-crash
+    history did NOT reproduce on the current toolchain (3 clean runs); if a
+    future toolchain regresses, fall back to ``_pairs``
+    (docs/PERFORMANCE.md)."""
     cfg = nuscenes_occ_compact()
     model = dataclasses.replace(
         cfg.model,
@@ -519,10 +521,12 @@ def nuscenes_occ_compact_bundle() -> Config:
 
 
 def nuscenes_occ_compact_bf16_pairs() -> Config:
-    """Both single-chip exact-recipe levers composed: bf16 value payloads
-    (fp32 accumulation) + x-pair-bundled gathers. Per-head reference
-    semantics; deviation is bf16 payload rounding only (the pair bundle is
-    exact reassociation)."""
+    """Both round-4 lever candidates composed: bf16 value payloads (fp32
+    accumulation) + x-pair-bundled gathers. KNOWN BAD: this composition
+    reproducibly faults the TPU worker at flagship scale ("UNAVAILABLE: TPU
+    device error", 2x incl. on a just-verified-healthy worker) while each
+    lever alone runs clean — kept only as the crash repro; it is also moot
+    (bf16 payloads measured speed-neutral, see ``_bf16``)."""
     cfg = nuscenes_occ_compact()
     model = dataclasses.replace(
         cfg.model,

@@ -175,13 +175,18 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
     ``bundle_corners`` ("full"/True) packs the 2x2 corner block into channels
     so each sampling point costs ONE gather row (4D payload) instead of 4
     (D payload); "pairs" packs only the x-adjacent pair (2 rows/point, 2D
-    payload) — both numerically identical to fp reassociation. OPT-IN
-    (default "none"): at flagship scale the FULL-bundled program reliably
-    faults the TPU runtime ("UNAVAILABLE: TPU device error" at first
-    execution, reproduced 3x on v5e via bench --frame nuscenes_occ; the
-    unbundled program runs clean); "pairs" is the smaller-program fallback
-    formulation for the retest. Golden-tested numerically in all modes
-    (tests/test_msda.py)."""
+    payload) — both numerically identical to fp reassociation (forward AND
+    gradients golden/parity-tested, tests/test_msda.py +
+    tests/test_encoder_extras.py). Measured on the flagship exact prepare
+    (v5e, round 4): "full" 7.9 s vs "pairs" 12.9 vs unbundled 15.9 — gathers
+    are row-rate-bound, so fan-in wins ~linearly. The round-3 "full bundle
+    faults the TPU runtime" history did NOT reproduce on the current
+    toolchain (3 clean flagship runs; the old faults coincided with wounded-
+    tunnel windows). One composition IS genuinely bad: bf16 value payloads +
+    bundling faults the worker reproducibly (docs/PERFORMANCE.md) — keep
+    payloads fp32 when bundling. Default "none" here (op-level neutrality);
+    recipes opt in via ``EncoderConfig.msda_bundle``
+    (``nuscenes_occ_compact_bundle`` is the reference-exact eval recipe)."""
     if bundle_corners is True:
         bundle_corners = "full"
     elif not bundle_corners:

@@ -255,3 +255,41 @@ def test_msda_bundle_modes_match_default():
         for a, b in zip(rep_d, rep_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4, err_msg=mode)
+
+
+def test_msda_bundle_gradients_match_default():
+    """Bundled gathers must also backprop identically (the bundled take's
+    VJP scatter-adds into the 2C/4C packed table, then the bundle build's
+    VJP folds the blocks back) — gates promoting bundle modes into training
+    recipes."""
+    cfg_d = tiny_config()
+    model_d = TPVSegmentor(cfg_d.model)
+    cams = make_cameras(cfg_d.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(4).rand(1, cfg_d.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_d.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+
+    def loss_for(cfg_variant):
+        model = TPVSegmentor(cfg_variant.model)
+
+        def f(params):
+            rep = model.apply({**variables, "params": params}, imgs,
+                              cams["lidar2img"], train=False,
+                              method="get_representation")
+            return sum(jnp.sum(r ** 2) for r in rep)
+        return f
+
+    g_d = jax.grad(loss_for(cfg_d))(variables["params"])
+    for mode in ("pairs", "full"):
+        cfg_m = tiny_config(enc_kw=dict(msda_bundle=mode))
+        g_m = jax.grad(loss_for(cfg_m))(variables["params"])
+        flat_d = jax.tree_util.tree_leaves(g_d)
+        flat_m = jax.tree_util.tree_leaves(g_m)
+        assert len(flat_d) == len(flat_m)
+        for a, b in zip(flat_d, flat_m):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=5e-4, err_msg=mode)
