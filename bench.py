@@ -15,9 +15,11 @@ the JSON so tunnel variance is visible.
 Utilization (VERDICT r2 #4): the JSON also answers "what fraction of the chip
 is used" via XLA's own cost model (``compiled.cost_analysis()``): ``mfu`` =
 flops/s vs the chip's bf16 peak and ``hbm_gbps`` = bytes-accessed/s. The
-render is a GATHER-ROW-bound workload (~100M gather rows/s on v5e,
-docs/PERFORMANCE.md): expect LOW MFU and moderate HBM numbers — ``rows_per_sec``
-(rays*samples/s, one bundled gather row each) is the speed-of-light metric.
+render is bound by gather ISSUE rate (~145M rows/s on v5e, index- and
+payload-insensitive — ablation-settled in ``tools/profile_render.py``):
+expect LOW MFU, and read ``hbm_util`` as a cost-model artifact rather than
+the binding resource — ``rows_per_sec`` (rays*samples/s, one bundled gather
+row each) is the speed-of-light metric.
 
 Prints ONE JSON line:
   {"metric": "render_rays_per_sec", "value": N, "unit": "rays/s",
@@ -167,7 +169,10 @@ def main():
     ap.add_argument("--rays", type=int, nargs=2, default=[450, 800])
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--dtype", default="bfloat16",
-                    help="field volume dtype; the render is HBM-gather-bound, bf16 triples throughput")
+                    help="field volume dtype; matters only for wide-row "
+                         "(--full-channels) renders — the geo_only headline "
+                         "is gather-issue-bound and payload-insensitive "
+                         "(fp32 == bf16, tools/profile_render.py)")
     ap.add_argument("--bundle", action="store_true", default=True,
                     help="corner-bundled trilinear sampling (one fat gather "
                          "per sample; rows are the bottleneck)")

@@ -158,6 +158,16 @@ class ChunkedRenderer:
                        "sigma", "eik_grad", "ts", "deltas", "normal_vis",
                        "surface_sdf", "max_depth"}
         geo_only = set(self.outputs) <= geo_outputs
+        if geo_only and self.volume_dtype == "bfloat16":
+            # measured (tools/profile_render.py, v5e): the geo_only render is
+            # bound by gather ISSUE rate (~145M rows/s) and is payload- AND
+            # index-insensitive at its 8-channel row size — fp32 rows render
+            # at the SAME speed as bf16. So depth-family evals keep the
+            # decoded volume in fp32: bf16 rounding bought nothing here, and
+            # dropping it removes the one deviation the depth-parity path
+            # still had. Wide-row renders (sem/SH outputs) stay bf16 — there
+            # the halved payload IS the measured 2-3x (docs/PERFORMANCE.md).
+            self.volume_dtype = "float32"
         # variables/volume are jit ARGUMENTS (closure capture would bake the
         # decoded volume + params into the compiled module as constants)
         def _render_fn(v, vol, o, d):

@@ -105,3 +105,28 @@ def test_camera_kwargs_threading():
                                volume_dtype="float32")
     vol = renderer.prepare(imgs, l2i, **kw)
     assert np.isfinite(np.asarray(vol)).all()
+
+
+def test_geo_only_keeps_volume_fp32():
+    """Depth-family outputs engage geo_only, where the gather is issue-rate
+    bound and payload-insensitive (tools/profile_render.py) — the renderer
+    must keep the decoded volume fp32 (exactness for free) instead of the
+    bf16 speed default, which only pays off on wide-row renders."""
+    cfg = tiny_config()
+    model = TPVSegmentor(cfg=cfg.model)
+    rng = jax.random.PRNGKey(0)
+    imgs = np.random.RandomState(1).rand(
+        1, cfg.num_cams, *cfg.input_size, 3).astype(np.float32)
+    l2i = np.tile(np.eye(4, dtype=np.float32), (1, cfg.num_cams, 1, 1))
+    variables = model.init(rng, imgs, l2i, method="prepare")
+
+    depth_r = ChunkedRenderer(model, variables, shard=False,
+                              outputs=("depth", "max_depth"))
+    assert depth_r.volume_dtype == "float32"
+    assert np.asarray(depth_r.prepare(imgs, l2i)).dtype == np.float32
+    full_r = ChunkedRenderer(model, variables, shard=False,
+                             outputs=("depth", "rgb", "sem"))
+    assert full_r.volume_dtype == "bfloat16"
+    explicit = ChunkedRenderer(model, variables, shard=False,
+                               volume_dtype="float32", outputs=("rgb",))
+    assert explicit.volume_dtype == "float32"
