@@ -559,12 +559,25 @@ def nuscenes_occ_fast() -> Config:
     return dataclasses.replace(cfg, name="nuscenes_occ_fast", model=model)
 
 
+def kitti_occ_bundle() -> Config:
+    """``kitti_occ`` with 2x2 corner-bundled MSDA gathers — the exact-
+    semantics KITTI eval recipe (same pure-fp-reassociation lever as
+    ``nuscenes_occ_compact_bundle``; mono, so there is no visibility
+    compaction to compose with)."""
+    cfg = kitti_occ()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, msda_bundle="full"))
+    return dataclasses.replace(cfg, name="kitti_occ_bundle", model=model)
+
+
 _CONFIGS = {
     "tiny": tiny,
     "nuscenes_occ": nuscenes_occ,
     "nuscenes_depth": nuscenes_depth,
     "nuscenes_novel_depth": nuscenes_novel_depth,
     "kitti_occ": kitti_occ,
+    "kitti_occ_bundle": kitti_occ_bundle,
     "kitti_novel_depth": kitti_novel_depth,
     "kitti_raw_depth": kitti_raw_depth,
     "nuscenes_occ_bev": nuscenes_occ_bev,
