@@ -49,6 +49,10 @@ class EncoderConfig:
     # "full" (1 row/point). Pure fp reassociation; opt-in pending the
     # remote-TPU-compiler retest (docs/PERFORMANCE.md MSDA section).
     msda_bundle: str = "none"
+    # P-axis accumulation chunk for the MSDA gathers (0 = auto:
+    # bundled P//fan, unbundled unchunked). The fused train step's HBM
+    # peak tracks the per-chunk gather transient (docs/PERFORMANCE.md).
+    msda_point_chunk: int = 0
     # per-plane FFN/norm parameter sets (reference MultiPlaneFFN/Norm,
     # modules/split_fpn.py + split_norm.py; off in shipped configs)
     multi_plane_ffn_norm: bool = False

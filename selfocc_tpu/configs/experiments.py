@@ -559,6 +559,20 @@ def nuscenes_occ_fast() -> Config:
     return dataclasses.replace(cfg, name="nuscenes_occ_fast", model=model)
 
 
+def nuscenes_occ_compact_train_bundle() -> Config:
+    """``nuscenes_occ_compact_train`` + corner-bundled MSDA gathers: the
+    reference-exact TRAIN recipe with the round-4 bundling lever applied to
+    the backward too (4x fewer gather/scatter rows in the cross-attn
+    backward whose remat transients set the 40.6 GB dense-compact peak).
+    Gradient parity vs unbundled is pinned in tests/test_encoder_extras.py."""
+    cfg = nuscenes_occ_compact_train()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, msda_bundle="full"))
+    return dataclasses.replace(cfg, name="nuscenes_occ_compact_train_bundle",
+                               model=model)
+
+
 def kitti_occ_bundle() -> Config:
     """``kitti_occ`` with 2x2 corner-bundled MSDA gathers — the exact-
     semantics KITTI eval recipe (same pure-fp-reassociation lever as
@@ -587,6 +601,7 @@ _CONFIGS = {
     "nuscenes_occ_density": nuscenes_occ_density,
     "nuscenes_occ_compact": nuscenes_occ_compact,
     "nuscenes_occ_compact_train": nuscenes_occ_compact_train,
+    "nuscenes_occ_compact_train_bundle": nuscenes_occ_compact_train_bundle,
     "nuscenes_occ_compact_bf16": nuscenes_occ_compact_bf16,
     "nuscenes_occ_compact_pairs": nuscenes_occ_compact_pairs,
     "nuscenes_occ_compact_bundle": nuscenes_occ_compact_bundle,

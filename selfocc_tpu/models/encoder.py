@@ -235,6 +235,7 @@ class CrossViewHybridAttention(nn.Module):
     value_bf16: bool = False
     # exact corner-bundled gathers: "none" | "pairs" | "full" (ops/msda.py)
     bundle: str = "none"
+    point_chunk: int = 0
 
     @nn.compact
     def __call__(self, query, query_pos, ref_points, spatial_shapes,
@@ -262,7 +263,8 @@ class CrossViewHybridAttention(nn.Module):
         out = ms_deform_attn(value, spatial_shapes, loc, attn,
                              query_chunk=self.query_chunk,
                              shared_locations=self.shared_locations,
-                             bundle_corners=self.bundle)
+                             bundle_corners=self.bundle,
+                             point_chunk=self.point_chunk)
         out = nn.Dense(C, kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -301,6 +303,7 @@ class BEVCrossAttention(nn.Module):
     value_bf16: bool = False
     # exact corner-bundled gathers: "none" | "pairs" | "full" (ops/msda.py)
     bundle: str = "none"
+    point_chunk: int = 0
 
     @nn.compact
     def __call__(self, query, value, ref_cams, masks, spatial_shapes,
@@ -347,7 +350,8 @@ class BEVCrossAttention(nn.Module):
             out_m = ms_deform_attn(v, spatial_shapes, loc, attn_sel,
                                    query_chunk=self.query_chunk,
                                    shared_locations=self.shared_locations,
-                                   bundle_corners=self.bundle)
+                                   bundle_corners=self.bundle,
+                                   point_chunk=self.point_chunk)
             w_sel = hit_sel.astype(out_m.dtype)
             contrib = (out_m * w_sel[..., None]).reshape(cams * M, C)
             slots = jnp.zeros((Q, C), out_m.dtype).at[
@@ -366,7 +370,8 @@ class BEVCrossAttention(nn.Module):
             out = ms_deform_attn(v, spatial_shapes, loc, attn_c,
                                  query_chunk=self.query_chunk,
                                  shared_locations=self.shared_locations,
-                                 bundle_corners=self.bundle)
+                                 bundle_corners=self.bundle,
+                                 point_chunk=self.point_chunk)
             hitf = hit.astype(out.dtype)                     # (cams, Q)
             slots = (out * hitf[..., None]).sum(0)           # (Q, C)
             count = jnp.maximum(hitf.sum(0), 1.0)
@@ -426,6 +431,7 @@ class TPVFormerLayer(nn.Module):
     attn_value_bf16: bool = False
     # exact corner-bundled MSDA gathers: "none" | "pairs" | "full"
     msda_bundle: str = "none"
+    msda_point_chunk: int = 0
     # per-plane norm/FFN parameter sets (reference MultiPlaneNorm /
     # MultiPlaneFFN, modules/split_norm.py + split_fpn.py; off in shipped
     # configs)
@@ -465,6 +471,7 @@ class TPVFormerLayer(nn.Module):
             dropout=self.dropout, query_chunk=self.self_query_chunk,
             shared_locations=self.shared_locations,
             value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
+            point_chunk=self.msda_point_chunk,
             name="self_attn")(
                 q, pos, cross_view_ref, plane_shapes,
                 deterministic=deterministic)
@@ -491,6 +498,7 @@ class TPVFormerLayer(nn.Module):
                 shared_locations=self.shared_locations,
                 visible_capacity=vc,
                 value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
+            point_chunk=self.msda_point_chunk,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -526,6 +534,7 @@ class DeformableSelfAttention(nn.Module):
     query_chunk: int = 0
     value_bf16: bool = False
     bundle: str = "none"
+    point_chunk: int = 0
 
     @nn.compact
     def __call__(self, query, query_pos, ref_2d, spatial_shape,
@@ -550,7 +559,8 @@ class DeformableSelfAttention(nn.Module):
             offsets / normalizer[None, None, None, :, None, :]
         out = ms_deform_attn(value, (spatial_shape,), loc, attn,
                              query_chunk=self.query_chunk,
-                             bundle_corners=self.bundle)
+                             bundle_corners=self.bundle,
+                             point_chunk=self.point_chunk)
         out = nn.Dense(C, kernel_init=_xavier_uniform(),
                        name="output_proj")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
@@ -576,6 +586,7 @@ class BEVFormerLayer(nn.Module):
     visible_capacity: float = 1.0
     attn_value_bf16: bool = False
     msda_bundle: str = "none"
+    msda_point_chunk: int = 0
     deterministic: bool = True
 
     @nn.compact
@@ -586,6 +597,7 @@ class BEVFormerLayer(nn.Module):
             self.embed_dims, self.num_heads, self.num_points_self,
             dropout=self.dropout, query_chunk=self.self_query_chunk,
             value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
+            point_chunk=self.msda_point_chunk,
             name="self_attn")(q, bev_pos, ref_2d, (H, W),
                               deterministic=self.deterministic)
         q = nn.LayerNorm(name="norm1")(q)
@@ -595,6 +607,7 @@ class BEVFormerLayer(nn.Module):
             query_chunk=self.cross_query_chunk,
             visible_capacity=self.visible_capacity,
             value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
+            point_chunk=self.msda_point_chunk,
             name="cross_attn")(
                 q, value, ref_cams, masks, tuple(self.img_spatial_shapes),
                 deterministic=self.deterministic)
@@ -628,6 +641,7 @@ class BEVFormerEncoder(nn.Module):
     visible_capacity: float = 1.0
     attn_value_bf16: bool = False
     msda_bundle: str = "none"
+    msda_point_chunk: int = 0
 
     @nn.compact
     def __call__(self, representation, ms_img_feats, lidar2img, img_shape,
@@ -720,6 +734,7 @@ class BEVFormerEncoder(nn.Module):
             visible_capacity=self.visible_capacity,
             attn_value_bf16=self.attn_value_bf16,
             msda_bundle=self.msda_bundle,
+            msda_point_chunk=self.msda_point_chunk,
             deterministic=deterministic, name="layers")
         rep = representation if not isinstance(representation, (list, tuple)) \
             else representation[0]
@@ -787,6 +802,7 @@ class TPVFormerEncoder(nn.Module):
     # exact corner-bundled MSDA gathers ("pairs"/"full", ops/msda.py) —
     # reassociation-only, opt-in pending the remote-compiler retest
     msda_bundle: str = "none"
+    msda_point_chunk: int = 0
     multi_plane_ffn_norm: bool = False
     camera_aware: bool = False       # CameraAwareSE image-feature gating
     camera_aware_mid_channels: Optional[int] = None
@@ -917,6 +933,7 @@ class TPVFormerEncoder(nn.Module):
             visible_capacity=self.visible_capacity,
             attn_value_bf16=self.attn_value_bf16,
             msda_bundle=self.msda_bundle,
+            msda_point_chunk=self.msda_point_chunk,
             multi_plane_ffn_norm=self.multi_plane_ffn_norm,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,

@@ -87,6 +87,7 @@ class TPVSegmentor(nn.Module):
                 visible_capacity=e.cross_visible_capacity,
                 attn_value_bf16=e.attn_value_bf16,
                 msda_bundle=e.msda_bundle,
+                msda_point_chunk=e.msda_point_chunk,
                 remat_layers=e.remat_layers,
                 name="encoder")
             h = c.head
@@ -107,6 +108,7 @@ class TPVSegmentor(nn.Module):
             visible_capacity=e.cross_visible_capacity,
             attn_value_bf16=e.attn_value_bf16,
             msda_bundle=e.msda_bundle,
+            msda_point_chunk=e.msda_point_chunk,
             remat_layers=e.remat_layers,
             multi_plane_ffn_norm=e.multi_plane_ffn_norm,
             camera_aware=e.camera_aware,

@@ -158,7 +158,7 @@ def _bilinear_gather_cf_pairs(vp, xy, h, w, C):
 
 
 def _msda_dense(value_levels, sampling_locations, attention_weights,
-                spatial_shapes, bundle_corners="none"):
+                spatial_shapes, bundle_corners="none", point_chunk=0):
     """Unchunked core. value_levels: list of (B, H, h, w, D).
 
     Each level's gather+reduce is a ``jax.checkpoint`` region: the backward
@@ -209,15 +209,49 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
             # gather, so an unchunked (B*H, fan*D, Q*P) transient OOMs the
             # flagship forward (observed 19 GB); dividing P keeps the live
             # transient at the per-corner path's size while retaining the
-            # fan-x row reduction.
-            pc = max(P // fan, 1)
+            # fan-x row reduction. ``point_chunk`` overrides the divisor:
+            # the fused TRAIN step's HBM peak tracks this per-chunk gather
+            # transient almost linearly (measured ladder in
+            # docs/PERFORMANCE.md: P//fan -> 22.75 GB, unchunked-equivalent
+            # -> ~40 GB on the reference-exact recipe), so smaller chunks
+            # buy backward memory at zero numerics cost beyond the already-
+            # documented fp reassociation.
+            pc = point_chunk if point_chunk > 0 else max(P // fan, 1)
+
+            # each chunk is its OWN checkpoint region: the outer level
+            # checkpoint alone recomputes every chunk's gathered ``samp``
+            # during the backward sweep, and since the VJP consumes chunks
+            # in REVERSE order they are all live at the turnaround — the
+            # measured train peak barely moved with pc (22.75 GB at pc=12
+            # vs 19.26 at pc=2 on the reference-exact recipe). Nesting the
+            # checkpoint re-materializes each chunk at its use site, so
+            # exactly one chunk's transient is live at a time.
+            @jax.checkpoint
+            def chunk_term(vb_, xy_c, w_c):
+                samp = jax.vmap(
+                    lambda vf, c: fn(vf, c, h, w, D))(vb_, xy_c)
+                return jnp.einsum('bdqp,bqp->bqd', samp, w_c,
+                                  preferred_element_type=jnp.float32)
+
             out_l = jnp.zeros((B * H, Q, D), dtype=jnp.float32)
             for p0 in range(0, P, pc):
+                out_l = out_l + chunk_term(vb, xy[:, :, p0:p0 + pc],
+                                           w_l[:, :, p0:p0 + pc])
+            return out_l
+        if point_chunk > 0:
+            # same transient-bounding lever for the per-corner path (pure
+            # fp reassociation of the P-axis reduction)
+            @jax.checkpoint
+            def chunk_term_nb(v_, xy_c, w_c):
                 samp = jax.vmap(
-                    lambda vf, c: fn(vf, c, h, w, D))(vb, xy[:, :, p0:p0 + pc])
-                out_l = out_l + jnp.einsum(
-                    'bdqp,bqp->bqd', samp, w_l[:, :, p0:p0 + pc],
-                    preferred_element_type=jnp.float32)
+                    lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v_, xy_c)
+                return jnp.einsum('bdqp,bqp->bqd', samp, w_c,
+                                  preferred_element_type=jnp.float32)
+
+            out_l = jnp.zeros((B * H, Q, D), dtype=jnp.float32)
+            for p0 in range(0, P, point_chunk):
+                out_l = out_l + chunk_term_nb(v, xy[:, :, p0:p0 + point_chunk],
+                                              w_l[:, :, p0:p0 + point_chunk])
             return out_l
         samp = jax.vmap(
             lambda vf, c: _bilinear_gather_cf(vf, c, h, w))(v, xy)
@@ -292,7 +326,7 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    query_chunk: int = 0, shared_locations: bool = False,
-                   bundle_corners="none"):
+                   bundle_corners="none", point_chunk: int = 0):
     """Multi-scale deformable attention.
 
     Args:
@@ -309,6 +343,10 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
       bundle_corners: "none" (default), "pairs" (x-pair rows, 2 gather rows
         per point) or "full"/True (2x2 corner rows, 1 gather row per point).
         Exact reassociations of the 4-corner computation; see ``_msda_dense``.
+      point_chunk: if > 0, accumulate the P (sampling-point) axis in chunks
+        of this size — bounds the per-level gather transient that sets the
+        fused train step's HBM peak (see ``_msda_dense``). 0 keeps the
+        historical behavior (bundled: P // fan; unbundled: unchunked).
 
     Returns:
       (B, Q, H * D) — fp32 accumulation regardless of the value dtype.
@@ -335,7 +373,8 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
 
     if query_chunk <= 0 or query_chunk >= Q:
         out = _msda_dense(value_levels, sampling_locations, attention_weights,
-                          spatial_shapes, bundle_corners=bundle_corners)
+                          spatial_shapes, bundle_corners=bundle_corners,
+                          point_chunk=point_chunk)
         return out.reshape(B, Q, H * D)
 
     pad = (-Q) % query_chunk
@@ -348,7 +387,8 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
     def body(args):
         loc_c, att_c = args
         return _msda_dense(value_levels, loc_c, att_c, spatial_shapes,
-                           bundle_corners=bundle_corners)
+                           bundle_corners=bundle_corners,
+                           point_chunk=point_chunk)
 
     out = jax.lax.map(body, (loc, att))                  # n_chunks,B,Qc,H,D
     out = out.swapaxes(0, 1).reshape(B, Q + pad, H, D)[:, :Q]

@@ -99,6 +99,28 @@ def test_msda_pair_bundled_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_msda_point_chunk_matches_torch():
+    """``point_chunk`` (P-axis accumulation chunking — the fused train
+    step's HBM-peak lever, ops/msda.py) is a pure fp reassociation in every
+    bundle mode — golden vs the torch fallback, forward AND value-grad."""
+    import jax
+    value, loc, att, shapes = _random_case(11)
+    ref = torch_msda(torch.from_numpy(value), shapes,
+                     torch.from_numpy(loc), torch.from_numpy(att)).numpy()
+    base_grad = None
+    for mode in ("none", "pairs", "full"):
+        for pc in (1, 2, 3):
+            fn = lambda v: ms_deform_attn(
+                v, shapes, jnp.asarray(loc), jnp.asarray(att),
+                bundle_corners=mode, point_chunk=pc)
+            ours = np.asarray(fn(jnp.asarray(value)))
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+            g = np.asarray(jax.grad(lambda v: fn(v).sum())(jnp.asarray(value)))
+            if base_grad is None:
+                base_grad = g
+            np.testing.assert_allclose(g, base_grad, atol=1e-5)
+
+
 def test_msda_bf16_values_fp32_accumulate():
     """bf16 value payloads (the attn_value_bf16 lever): locations/weights
     stay fp32, the gathered payload rounds to bf16, the attention reduction
