@@ -142,6 +142,11 @@ class ModelConfig:
     embed_dims: int = 96
     freeze_img_backbone: bool = False
     freeze_img_neck: bool = False
+    # rematerialize the image backbone in the backward: its activations
+    # otherwise stay live across the entire encoder+render backward (the
+    # backbone grad runs LAST). Memory lever for the 16 GB v5e train fit;
+    # costs one extra backbone forward per step (cheap vs the encoder).
+    remat_backbone: bool = False
     use_bev_encoder: bool = False                 # BEVFormer variant
     # 'bfloat16' runs backbone/neck compute in bf16 with fp32 params — the
     # analog of the reference's env-var amp mode (train.py:134-136); the

@@ -42,8 +42,14 @@ class TPVSegmentor(nn.Module):
                     depth_coefficient=c.unet_scaling[1]),
                 name="img_backbone")
         else:
-            self.img_backbone = ResNet50(dtype=c.compute_dtype,
-                                         name="img_backbone")
+            bb_cls = ResNet50
+            if c.remat_backbone:
+                # recompute the backbone in the backward instead of keeping
+                # its activations live across the whole encoder+render
+                # backward (train argument is static: argnums count self=0)
+                bb_cls = nn.remat(ResNet50, static_argnums=(2,))
+            self.img_backbone = bb_cls(dtype=c.compute_dtype,
+                                       name="img_backbone")
         if c.neck_type == "identity":
             from .fpn import IdentityNeck
             self.img_neck = IdentityNeck(name="img_neck")
@@ -186,7 +192,7 @@ class TPVSegmentor(nn.Module):
         """
         B, N, H, W, C3 = imgs.shape
         x = imgs.reshape(B * N, H, W, C3)
-        feats = self.img_backbone(x, train=train)
+        feats = self.img_backbone(x, train)   # positional: remat static_argnums
         feats = [feats[i] for i in self.cfg.img_backbone_out_indices]
         if self.cfg.freeze_img_backbone:
             # the reference's requires_grad_(False) skips the backbone

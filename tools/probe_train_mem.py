@@ -29,6 +29,9 @@ def main():
                          "python literal, falling back to str)")
     ap.add_argument("--head", action="append", default=[],
                     help="head override key=value")
+    ap.add_argument("--model", action="append", default=[],
+                    help="model-level override key=value (e.g. "
+                         "remat_backbone=True)")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU backend and print memory_analysis()")
     args = ap.parse_args()
@@ -59,6 +62,9 @@ def main():
     cfg = get_config(args.config)
     enc_over, head_over = parse(args.enc), parse(args.head)
     model_cfg = cfg.model
+    model_over = parse(args.model)
+    if model_over:
+        model_cfg = dataclasses.replace(model_cfg, **model_over)
     if enc_over:
         model_cfg = dataclasses.replace(
             model_cfg, encoder=dataclasses.replace(model_cfg.encoder,
