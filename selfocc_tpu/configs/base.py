@@ -112,6 +112,11 @@ class HeadConfig:
     use_pallas_weights: bool = False
     num_samples_importance: int = 0   # reference neus_head.py:31 (0 shipped)
     bundle_volume: bool = True        # one-fat-gather trilinear (4.7x render)
+    # EVAL-only empty-space skipping (deviating fast tier; models/heads.py
+    # knob docstring): coarse sdf-only pass -> inverse-CDF fine placement at
+    # static capacity. 0/0 = off (every exact tier). Training is unaffected.
+    eval_skip_coarse: int = 0
+    eval_skip_fine: int = 0
     num_upsample_steps: int = 4
     embed_dims: int = 96
     color_dims: int = 0

@@ -547,12 +547,22 @@ def nuscenes_occ_fast() -> Config:
     # (eval prepare measured neutral, 8.3 vs 7.8 s): it shrinks the encoder
     # backward's (6, 96, 66049) transients 3.3x on the hw plane, which is
     # what brings the TRAIN step from 18.3 GB (OOM on a 16 GB v5e) down to
-    # fitting — measured 29.8 s/step steady on one v5e chip. 2048-ray remat
-    # chunks bound the render-backward transients for the same reason.
+    # fitting — ~10 s/step DEVICE time steady on one v5e chip (the first
+    # 29.8 s/step wall measurement included 5-28 s/step synchronous host
+    # batch assembly, since overlapped away by --prefetch; see
+    # docs/PERFORMANCE.md training table). 2048-ray remat chunks bound the
+    # render-backward transients for the same reason.
+    # EVAL renders skip empty space (VERDICT r4 #5): 64 coarse sdf-only
+    # samples place 64 fine samples by inverse-CDF — 128 gather rows/ray
+    # instead of 256 on the row-rate-bound render. Training math unchanged
+    # (the knob is eval-only, models/heads.py). Depth delta vs the exact
+    # 256-uniform render is pinned in tests/test_eval_skip.py and measured
+    # on-device in docs/PERFORMANCE.md.
     model = dataclasses.replace(
         cfg.model,
         compute_dtype="bfloat16",
-        head=dataclasses.replace(cfg.model.head, train_ray_chunk=2048),
+        head=dataclasses.replace(cfg.model.head, train_ray_chunk=2048,
+                                 eval_skip_coarse=64, eval_skip_fine=64),
         encoder=dataclasses.replace(
             cfg.model.encoder, shared_locations=True,
             cross_visible_capacity=(0.3, 0.75, 0.7)))

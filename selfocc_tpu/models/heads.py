@@ -133,6 +133,19 @@ class NeuSHead(nn.Module):
     # — in the remat'd training render the fp32 fat-payload gather measured
     # SLOWER (41 -> 57 s/step), so training keeps the 8-corner path.
     bundle_volume: bool = False
+    # EVAL-only empty-space skipping (deviating fast tier; VERDICT r4 #5 —
+    # the static-shape answer to the reference's nerfacc occupancy-grid
+    # pruning, model/head/nerfacc_head/estimator.py:89-101). When both > 0
+    # and train=False: a coarse sdf-ONLY pass at `eval_skip_coarse` uniform
+    # samples estimates per-section alpha grad-free (the NeuS up_sample
+    # slope-clamp trick, neus.upsample_ts), then `eval_skip_fine` samples
+    # are placed by inverse-CDF at STATIC capacity and only those are
+    # gathered with gradients + composited. Rows/ray drop from num_samples
+    # to coarse+fine; empty space never pays a full-payload gather. The
+    # render is gather-issue-bound, so the win is ~num_samples/(coarse+fine).
+    # Exact tiers keep 256-uniform (this deviates: sub-sample placement).
+    eval_skip_coarse: int = 0
+    eval_skip_fine: int = 0
 
     embed_dims: int = 96
     color_dims: int = 0
@@ -228,11 +241,39 @@ class NeuSHead(nn.Module):
         sample_rng = None
         if train and rng is not None:
             rng, sample_rng = jax.random.split(rng)
-        segs = neus.sample_uniform(near, far, self.num_samples, sample_rng)
 
-        mids = segs.mids                                     # (R, S)
-        deltas = segs.deltas
-        if self.num_samples_importance > 0:
+        if (not train and self.eval_skip_coarse > 0
+                and self.eval_skip_fine > 0):
+            # eval-time empty-space skipping (see knob docstring): coarse
+            # sdf-only pass -> grad-free section alphas -> inverse-CDF fine
+            # placement at static capacity. Only the fine set reaches the
+            # full gather + NeuS compositing below.
+            csegs = neus.sample_uniform(near, far, self.eval_skip_coarse,
+                                        None)
+            ts_c = csegs.mids
+            pos_c = (origin[:, None, :]
+                     + unit_dir[:, None, :] * ts_c[..., None])
+            if self.bundle_volume:
+                from ..ops.interp import bundle_corners_cf
+                sdf_c = self.field.sdf_bundled(
+                    bundle_corners_cf(volume[:1]),
+                    (1,) + volume.shape[1:], pos_c)
+            else:
+                sdf_c = self.field.sdf(volume[:1], pos_c)
+            if inv_s is None:
+                inv_s = self._inv_s(global_iter)
+            mids = jnp.sort(
+                neus.upsample_ts(ts_c, sdf_c, self.eval_skip_fine, inv_s),
+                axis=-1)                                     # (R, Sf)
+            deltas = jnp.concatenate(
+                [jnp.diff(mids, axis=-1),
+                 jnp.maximum(far[:, None] - mids[:, -1:], 1e-4)], axis=-1)
+        else:
+            segs = neus.sample_uniform(near, far, self.num_samples,
+                                       sample_rng)
+            mids = segs.mids                                 # (R, S)
+            deltas = segs.deltas
+        if self.num_samples_importance > 0 and mids.shape[-1] == self.num_samples:
             n_per = max(self.num_samples_importance
                         // self.num_upsample_steps, 1)
             ts = mids
@@ -433,7 +474,9 @@ class NeuSHead(nn.Module):
         def cams(x, extra=()):
             return x.reshape((bs, num_cams, num_rays) + tuple(extra))
 
-        S = self.num_samples
+        # actual sample-axis size: num_samples (+ importance samples when
+        # configured; eval_skip_fine when the skip path rendered)
+        S = r["weights"].shape[-1]
         outputs = {
             "ms_depths": [cams(r["depth"])],
             "ms_colors": [cams(r["rgb"], (r["rgb"].shape[-1],))],

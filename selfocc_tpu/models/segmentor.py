@@ -172,6 +172,8 @@ class TPVSegmentor(nn.Module):
             num_samples_importance=h.num_samples_importance,
             num_upsample_steps=h.num_upsample_steps,
             bundle_volume=h.bundle_volume,
+            eval_skip_coarse=h.eval_skip_coarse,
+            eval_skip_fine=h.eval_skip_fine,
             embed_dims=h.embed_dims,
             color_dims=h.color_dims, sem_dims=h.sem_dims,
             density_layers=h.density_layers, sh_deg=h.sh_deg,

@@ -1,0 +1,168 @@
+"""Eval-time empty-space skipping (NeuSHead.eval_skip_* — VERDICT r4 #5).
+
+The skip path replaces the 256-uniform eval march with a coarse sdf-only
+pass + inverse-CDF fine placement at static capacity. These tests pin:
+  * shapes: the sample axis becomes `eval_skip_fine`,
+  * geometry: on an ANALYTIC plane-SDF volume the skip depth matches the
+    exact uniform render to sub-voxel accuracy on surface-hitting rays,
+  * training is untouched: train=True ignores the knobs,
+  * config wiring: nuscenes_occ_fast carries the knobs, exact tiers don't.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from selfocc_tpu.geometry.mappings import make_mapping
+from selfocc_tpu.models.heads import NeuSHead
+
+MAPPING = dict(
+    nonlinear_mode='linear',
+    h_size=[32, 0], h_range=[10.0, 0], h_half=False,
+    w_size=[32, 0], w_range=[10.0, 0], w_half=False,
+    d_size=[16, 0], d_range=[-1.0, 3.0, 3.0])
+AABB = [-10.0, -10.0, -1.0, 10.0, 10.0, 3.0]
+
+
+def make_head(**kw):
+    args = dict(
+        roi_aabb=AABB, mapping_args=MAPPING, resolution=1.0,
+        num_samples=128, embed_dims=16, color_dims=0, sem_dims=0,
+        sh_deg=0, ray_sample_mode='fixed', ray_number=(4, 6),
+        ray_img_size=(32, 48), render_bkgd='white', tpv=True,
+        bundle_volume=False)
+    args.update(kw)
+    return NeuSHead(**args)
+
+
+def plane_volume(x_plane=4.0):
+    """Analytic SDF volume: vertical plane at x = x_plane (sdf = x_plane - x,
+    negative behind the plane as seen from the origin looking +x)."""
+    m = make_mapping(**MAPPING)
+    H, W, D = m.size_h, m.size_w, m.size_d
+    gh, gw, gd = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                              jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(D, dtype=jnp.float32), indexing='ij')
+    xyz = m.grid2meter(jnp.stack([gh, gw, gd], axis=-1))
+    sdf = x_plane - xyz[..., 0]
+    return sdf[None]                       # (1, H, W, D) channel-first
+
+
+def rays_toward_plane(R=64):
+    # origins on the x=0 plane, unit +x directions with small jitter in y
+    key = jax.random.PRNGKey(3)
+    ys = jax.random.uniform(key, (R,), minval=-4.0, maxval=4.0)
+    origin = jnp.stack([jnp.zeros(R), ys, jnp.full((R,), 0.5)], -1)
+    direction = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (R, 3))
+    return origin, direction
+
+
+def _render(head, volume, origin, direction, train=False):
+    rng = jax.random.PRNGKey(0)
+    m = make_mapping(**MAPPING)
+    H, W, D = m.size_h, m.size_w, m.size_d
+    variables = head.init(rng, [jnp.zeros((1, H * W, 16)),
+                                jnp.zeros((1, D * H, 16)),
+                                jnp.zeros((1, W * D, 16))],
+                          jnp.eye(4)[None, None], rng, 0, True)
+    return head.apply(variables, volume, origin, direction,
+                      train=train, method='render_rays',
+                      rngs={'dropout': rng})
+
+
+def test_skip_shapes_and_depth_matches_exact():
+    origin, direction = rays_toward_plane()
+    vol = plane_volume()
+
+    exact = _render(make_head(), vol, origin, direction)
+    skip = _render(make_head(eval_skip_coarse=32, eval_skip_fine=32),
+                   vol, origin, direction)
+
+    assert skip['weights'].shape == (origin.shape[0], 32)
+    assert skip['ts'].shape == (origin.shape[0], 32)
+    acc = np.asarray(exact['acc'])
+    hit = acc > 0.5
+    assert hit.sum() > 32          # plane at x=4 is inside every ray's band
+    d_exact = np.asarray(exact['depth'])[hit]
+    d_skip = np.asarray(skip['depth'])[hit]
+    # sub-voxel agreement on surface rays (voxel = 20m/32 = 0.625m)
+    assert np.abs(d_exact - d_skip).max() < 0.35, \
+        (np.abs(d_exact - d_skip).max(), d_exact[:4], d_skip[:4])
+    # the skip render concentrates samples at the surface: every fine ts
+    # set must bracket the plane on hitting rays
+    ts = np.asarray(skip['ts'])[hit]
+    assert (ts.min(-1) < 4.0).all() and (ts.max(-1) > 3.0).all()
+
+
+def test_skip_bundled_matches_unbundled():
+    origin, direction = rays_toward_plane()
+    vol = plane_volume()
+    a = _render(make_head(eval_skip_coarse=32, eval_skip_fine=32),
+                vol, origin, direction)
+    b = _render(make_head(eval_skip_coarse=32, eval_skip_fine=32,
+                          bundle_volume=True), vol, origin, direction)
+    np.testing.assert_allclose(np.asarray(a['depth']), np.asarray(b['depth']),
+                               atol=1e-5)
+
+
+def test_train_ignores_skip_knobs():
+    origin, direction = rays_toward_plane()
+    vol = plane_volume()
+    head = make_head(eval_skip_coarse=16, eval_skip_fine=16)
+    out = _render(head, vol, origin, direction, train=True)
+    assert out['weights'].shape == (origin.shape[0], 128)
+
+
+def test_chunked_renderer_skip_path():
+    """The real eval surface: ChunkedRenderer(outputs=('depth',)) engages
+    geo_only AND the skip path together (coarse sdf pass + sdf-only fine
+    gather) through TPVSegmentor.render_rays — the composition eval_depth
+    compiles for `nuscenes_occ_fast`."""
+    import dataclasses
+    from utils_tiny import make_cameras
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import ChunkedRenderer, init_variables
+
+    cfg = get_config('tiny')
+    model_cfg = dataclasses.replace(
+        cfg.model, head=dataclasses.replace(
+            cfg.model.head, eval_skip_coarse=8, eval_skip_fine=8))
+    model = TPVSegmentor(cfg=model_cfg)
+    rs = np.random.RandomState(0)
+    cams = make_cameras(cfg.num_cams, cfg.input_size)
+    sample = {
+        'imgs': jnp.asarray(rs.rand(1, cfg.num_cams, *cfg.input_size, 3),
+                            jnp.float32),
+        'lidar2img': jnp.asarray(cams['lidar2img'], jnp.float32),
+        cfg.model.head.trans_kw: jnp.asarray(cams['img2lidar'], jnp.float32),
+    }
+    imgs, l2i = sample['imgs'], sample['lidar2img']
+    variables = init_variables(model, cfg, sample)
+
+    r = ChunkedRenderer(model, variables, shard=False, chunk=64,
+                        outputs=('depth',))
+    vol = r.prepare(imgs, l2i)
+    origin = jnp.zeros((96, 3))
+    direction = jnp.tile(jnp.asarray([[1.0, 0.2, 0.05]]), (96, 1))
+    out = r.render(vol, origin, direction)
+    assert out['depth'].shape == (96,)
+    assert np.isfinite(np.asarray(out['depth'])).all()
+
+    exact_model = TPVSegmentor(cfg=cfg.model)
+    ex = ChunkedRenderer(exact_model, variables, shard=False, chunk=64,
+                         outputs=('depth',))
+    d_exact = np.asarray(ex.render(vol, origin, direction)['depth'])
+    d_skip = np.asarray(out['depth'])
+    # untrained tiny field: just pin agreement loosely (the tight geometry
+    # pin lives in test_skip_shapes_and_depth_matches_exact)
+    assert np.abs(d_exact - d_skip).mean() < np.abs(d_exact).mean() + 1.0
+
+
+def test_config_wiring():
+    from selfocc_tpu.configs.experiments import get_config
+    fast = get_config('nuscenes_occ_fast').model.head
+    assert fast.eval_skip_coarse == 64 and fast.eval_skip_fine == 64
+    for name in ('nuscenes_occ', 'nuscenes_occ_compact_bundle',
+                 'nuscenes_occ_compact_train_bundle'):
+        h = get_config(name).model.head
+        assert h.eval_skip_coarse == 0 and h.eval_skip_fine == 0, name
