@@ -162,6 +162,66 @@ def bench_frame(args):
     }
 
 
+def bench_occ(args):
+    """forward_occ per-frame latency (the eval_iou workload, VERDICT r4 #4):
+    prepare (backbone -> encoder -> fp32 field decode) + the reference's
+    512x512x40 uniform occupancy-grid query over [-51.2,51.2]^2 x [-5,3] at
+    0.2 m (reference ``eval_iou.py:166-289``). Uses ``GridOccEvaluator``
+    exactly as eval_iou.py does (single-jit on one chip, point-sharded on a
+    mesh)."""
+    import jax
+    from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
+    enable_jax_cache()
+    import jax.numpy as jnp
+    from selfocc_tpu.configs.experiments import get_config
+    from selfocc_tpu.data.synthetic import SyntheticDataset
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator, init_variables
+
+    cfg = get_config(args.occ)
+    model = TPVSegmentor(cfg=cfg.model)
+    ds = SyntheticDataset(num_cams=cfg.num_cams, input_size=cfg.input_size,
+                          img_size=cfg.img_size)
+    batch = {k: jnp.asarray(v) for k, v in ds[0].items()}
+    variables = init_variables(model, cfg, batch)
+    ev = GridOccEvaluator(model, variables, shard=False)
+
+    pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)   # OpenOcc pcr, res 0.2
+    resolution = 0.2
+
+    # compile both stages (query_grid ends in np.asarray — already forced)
+    vol = ev.prepare(batch["imgs"], batch["lidar2img"])
+    jax.block_until_ready(vol)
+    _ = float(jnp.sum(vol[0, :2, :2, :2].astype(jnp.float32)))
+    out = ev.query_grid(vol, pcr, resolution)
+    grid_shape = list(out["sdf"].shape)
+
+    vol = None
+    t0 = time.time()
+    vol = ev.prepare(batch["imgs"], batch["lidar2img"])
+    jax.block_until_ready(vol)
+    _ = float(jnp.sum(vol[0, :2, :2, :2].astype(jnp.float32)))
+    prep_s = time.time() - t0
+    t0 = time.time()
+    out = ev.query_grid(vol, pcr, resolution)   # device_get forces fetch
+    query_s = time.time() - t0
+
+    frame_s = prep_s + query_s
+    val_frames = 6019
+    return {
+        "metric": "forward_occ_seconds",
+        "value": round(frame_s, 2),
+        "unit": "s/frame",
+        "config": cfg.name,
+        "grid": grid_shape,
+        "prepare_s": round(prep_s, 2),
+        "query_s": round(query_s, 2),
+        "points_per_sec_m": round(
+            grid_shape[0] * grid_shape[1] * grid_shape[2] / query_s / 1e6, 1),
+        "est_val_6019_frames_1chip_h": round(val_frames * frame_s / 3600, 1),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=32768)
@@ -182,6 +242,11 @@ def main():
                     help="measure full prepare+render per-frame latency on "
                          "CONFIG (default nuscenes_occ_fast) instead of the "
                          "render-only headline")
+    ap.add_argument("--occ", nargs="?", const="nuscenes_occ_compact_bundle",
+                    default=None, metavar="CONFIG",
+                    help="measure forward_occ per-frame latency (the "
+                         "eval_iou workload: prepare + 512x512x40 grid "
+                         "query) on CONFIG instead of the render headline")
     ap.add_argument("--no-frames", dest="frames", action="store_false",
                     default=True,
                     help="skip the per-frame latency add-ons (headline only)")
@@ -191,6 +256,9 @@ def main():
     args = ap.parse_args()
     if args.frame:
         print(json.dumps(bench_frame(args)))
+        return
+    if args.occ:
+        print(json.dumps(bench_occ(args)))
         return
 
     import jax
@@ -344,6 +412,21 @@ def main():
         })
     except Exception as e:   # pragma: no cover - depends on device state
         record["frame_exact_error"] = f"{type(e).__name__}: {e}"[:160]
+    try:
+        # forward_occ (the eval_iou workload): prepare + the reference's
+        # 512x512x40 grid query on the exact recipe (VERDICT r4 #4)
+        oargs = argparse.Namespace(**{**vars(args),
+                                      "occ": "nuscenes_occ_compact_bundle"})
+        occ = bench_occ(oargs)
+        record.update({
+            "occ_config": occ["config"],
+            "occ_frame_s": occ["value"],
+            "occ_prepare_s": occ["prepare_s"],
+            "occ_query_s": occ["query_s"],
+            "occ_points_per_sec_m": occ["points_per_sec_m"],
+        })
+    except Exception as e:   # pragma: no cover - depends on device state
+        record["occ_error"] = f"{type(e).__name__}: {e}"[:160]
     print(json.dumps(record))
 
 

@@ -1,19 +1,20 @@
 #!/bin/bash
-# Unattended TPU measurement battery (round 4).
+# Unattended TPU measurement battery (round 5).
 #
 # The axon TPU tunnel goes down for long stretches (device enumeration
 # itself hangs); this script polls until a probe succeeds, then runs the
-# pending measurement battery:
-#   1. bench.py default — geo_only headline + frame (fast) + frame (exact)
-#      + frame (exact, bf16 value payloads) [VERDICT r3 #3]
-#   2. bench.py --frame nuscenes_occ_compact_pairs — x-pair-bundled MSDA
-#      gathers (2 rows/point, exact reassociation) [VERDICT r3 #9 fallback]
-#   3. bench.py --frame nuscenes_occ_compact_bundle — FULL corner bundle
-#      compiler-crash RETEST on the current toolchain [VERDICT r3 #9]
+# round-5 measurement battery:
+#   0. dryrun time guard (CPU only, VERDICT r4 #8): the 8-device dryrun
+#      must finish < 8 min or the step FAILS — this is the regression guard
+#      for the driver's MULTICHIP budget (r4 shipped rc:124 because round-4
+#      compiles silently grew past it; now cold ~5 min / warm ~1.5 min).
+#   1. bench.py default — render headline + fast frame (now with eval-skip)
+#      + exact frame + forward_occ entry [VERDICT r4 #4 #5]
+#   2. exact-train v5e fit probe (clip-mode gathers) + 24 sustained steps
+#      when it fits [VERDICT r4 #2]
+#   3. eval_novel_depth per-frame latency: warm-cache run then a 3-sample
+#      run; frame_s ~ (t3 - t1) / 2 [VERDICT r4 #7]
 # Everything is tee'd under .tpu_runs/ for later doc reconciliation.
-# NOTE run #3 may crash the TPU worker (history: HTTP 500 + device fault);
-# it runs LAST, and each step re-probes the tunnel first because a prior
-# crash wounds it for ~5-10 min.
 set -u
 OUT=/root/repo/.tpu_runs
 mkdir -p "$OUT"
@@ -30,28 +31,59 @@ probe() {
   done
 }
 
-echo "$(date -u +%FT%TZ) battery r4: polling for TPU" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) battery r5: step 0 dryrun guard (CPU)" >> "$OUT/status.log"
+START=$(date +%s)
+if XLA_FLAGS=--xla_force_host_platform_device_count=8 timeout 480 \
+    python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" \
+    > "$OUT/dryrun_guard.log" 2>&1; then
+  echo "$(date -u +%FT%TZ) dryrun guard OK ($(($(date +%s) - START))s)" >> "$OUT/status.log"
+else
+  echo "$(date -u +%FT%TZ) dryrun guard FAIL rc=$? ($(($(date +%s) - START))s > 480s budget)" >> "$OUT/status.log"
+fi
+
 probe
-echo "$(date -u +%FT%TZ) TPU UP — bench default (incl. bf16 exact frame)" >> "$OUT/status.log"
-timeout 7200 python bench.py > "$OUT/bench_r4_default.json" 2> "$OUT/bench_r4_default.log"
+echo "$(date -u +%FT%TZ) TPU UP — bench default (headline+frames+occ)" >> "$OUT/status.log"
+timeout 7200 python bench.py > "$OUT/bench_r5_default.json" 2> "$OUT/bench_r5_default.log"
 echo "$(date -u +%FT%TZ) bench default rc=$?" >> "$OUT/status.log"
 
 probe
-echo "$(date -u +%FT%TZ) frame compact_pairs" >> "$OUT/status.log"
-timeout 3600 python bench.py --frame nuscenes_occ_compact_pairs \
-  > "$OUT/bench_r4_pairs.json" 2> "$OUT/bench_r4_pairs.log"
-echo "$(date -u +%FT%TZ) compact_pairs rc=$?" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) exact-train fit probe (clip-mode gathers)" >> "$OUT/status.log"
+timeout 3600 python tools/probe_train_mem.py nuscenes_occ_compact_train_bundle \
+  > "$OUT/probe_ct_bundle.log" 2>&1
+echo "$(date -u +%FT%TZ) fit probe rc=$?" >> "$OUT/status.log"
+if grep -q "total=" "$OUT/probe_ct_bundle.log"; then
+  probe
+  echo "$(date -u +%FT%TZ) fit OK — 24 sustained steps" >> "$OUT/status.log"
+  timeout 5400 python train.py --py-config nuscenes_occ_compact_train_bundle \
+    --synthetic --max-steps 24 --print-freq 1 --work-dir /tmp/battery_ct \
+    > "$OUT/train_ct_bundle.log" 2>&1
+  echo "$(date -u +%FT%TZ) sustained train rc=$?" >> "$OUT/status.log"
+fi
 
 probe
-echo "$(date -u +%FT%TZ) frame compact_bf16_pairs (composed levers)" >> "$OUT/status.log"
-timeout 3600 python bench.py --frame nuscenes_occ_compact_bf16_pairs \
-  > "$OUT/bench_r4_bf16_pairs.json" 2> "$OUT/bench_r4_bf16_pairs.log"
-echo "$(date -u +%FT%TZ) compact_bf16_pairs rc=$?" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) skip-delta (fast-tier depth deviation + speedup)" >> "$OUT/status.log"
+timeout 3600 python tools/skip_delta.py nuscenes_occ_fast \
+  > "$OUT/skip_delta.json" 2> "$OUT/skip_delta.log"
+echo "$(date -u +%FT%TZ) skip-delta rc=$?" >> "$OUT/status.log"
 
 probe
-echo "$(date -u +%FT%TZ) frame compact_bundle (crash retest — LAST)" >> "$OUT/status.log"
-timeout 3600 python bench.py --frame nuscenes_occ_compact_bundle \
-  > "$OUT/bench_r4_bundle.json" 2> "$OUT/bench_r4_bundle.log"
-echo "$(date -u +%FT%TZ) compact_bundle rc=$?" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) prepare ablation (exact bundle recipe)" >> "$OUT/status.log"
+timeout 3600 python tools/profile_prepare.py nuscenes_occ_compact_bundle \
+  > "$OUT/profile_prepare.json" 2> "$OUT/profile_prepare.log"
+echo "$(date -u +%FT%TZ) prepare ablation (exact) rc=$?" >> "$OUT/status.log"
+probe
+timeout 3600 python tools/profile_prepare.py nuscenes_occ_fast \
+  > "$OUT/profile_prepare_fast.json" 2> "$OUT/profile_prepare_fast.log"
+echo "$(date -u +%FT%TZ) prepare ablation (fast) rc=$?" >> "$OUT/status.log"
 
-echo "$(date -u +%FT%TZ) battery r4 DONE" >> "$OUT/status.log"
+probe
+echo "$(date -u +%FT%TZ) eval_novel_depth latency (warm then 3-sample)" >> "$OUT/status.log"
+timeout 3600 python eval_novel_depth.py --py-config nuscenes_novel_depth \
+  --synthetic --num-samples 1 > "$OUT/novel1.log" 2>&1
+T1=$(date +%s)
+timeout 3600 python eval_novel_depth.py --py-config nuscenes_novel_depth \
+  --synthetic --num-samples 3 > "$OUT/novel3.log" 2>&1
+T3=$(date +%s)
+echo "$(date -u +%FT%TZ) novel-depth 3-sample wall $((T3 - T1))s (warm cache)" >> "$OUT/status.log"
+
+echo "$(date -u +%FT%TZ) battery r5 DONE" >> "$OUT/status.log"
