@@ -10,8 +10,9 @@
 #      compiles silently grew past it; now cold ~5 min / warm ~1.5 min).
 #   1. bench.py default — render headline + fast frame (now with eval-skip)
 #      + exact frame + forward_occ entry [VERDICT r4 #4 #5]
-#   2. exact-train v5e fit probe (clip-mode gathers) + 24 sustained steps
-#      when it fits [VERDICT r4 #2]
+#   2. exact-train v5e fit probe (best point_chunk from the round-5 sweep,
+#      see .tpu_runs/sweep_fit.log) + 24 sustained steps when it fits
+#      [VERDICT r4 #2]
 #   3. eval_novel_depth per-frame latency: warm-cache run then a 3-sample
 #      run; frame_s ~ (t3 - t1) / 2 [VERDICT r4 #7]
 # Everything is tee'd under .tpu_runs/ for later doc reconciliation.
@@ -47,7 +48,7 @@ timeout 7200 python bench.py > "$OUT/bench_r5_default.json" 2> "$OUT/bench_r5_de
 echo "$(date -u +%FT%TZ) bench default rc=$?" >> "$OUT/status.log"
 
 probe
-echo "$(date -u +%FT%TZ) exact-train fit probe (clip-mode gathers)" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) exact-train fit probe" >> "$OUT/status.log"
 timeout 3600 python tools/probe_train_mem.py nuscenes_occ_compact_train_bundle \
   > "$OUT/probe_ct_bundle.log" 2>&1
 echo "$(date -u +%FT%TZ) fit probe rc=$?" >> "$OUT/status.log"
