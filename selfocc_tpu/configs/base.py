@@ -52,7 +52,14 @@ class EncoderConfig:
     # P-axis accumulation chunk for the MSDA gathers (0 = auto:
     # bundled P//fan, unbundled unchunked). The fused train step's HBM
     # peak tracks the per-chunk gather transient (docs/PERFORMANCE.md).
-    msda_point_chunk: int = 0
+    # Scalar, or one chunk per TPV cross-attn plane (hw, zh, wz) — the
+    # planes' point counts differ (48/48/8 flagship), so the HBM-optimal
+    # chunk differs per plane; self-attn uses max() of a tuple.
+    msda_point_chunk: Any = 0
+    # Python-unrolled query-axis split for the TPV cross attns (scalar or
+    # per-plane) — scan-safe train-memory lever, unlike the lax.map
+    # query_chunk (see ms_deform_attn(query_unroll=)).
+    msda_query_unroll: Any = 0
     # per-plane FFN/norm parameter sets (reference MultiPlaneFFN/Norm,
     # modules/split_fpn.py + split_norm.py; off in shipped configs)
     multi_plane_ffn_norm: bool = False

@@ -304,6 +304,9 @@ class BEVCrossAttention(nn.Module):
     # exact corner-bundled gathers: "none" | "pairs" | "full" (ops/msda.py)
     bundle: str = "none"
     point_chunk: int = 0
+    # Python-unrolled query-axis split (scan-safe, unlike query_chunk's
+    # lax.map) — train-memory lever, see ms_deform_attn(query_unroll=)
+    query_unroll: int = 0
 
     @nn.compact
     def __call__(self, query, value, ref_cams, masks, spatial_shapes,
@@ -351,7 +354,8 @@ class BEVCrossAttention(nn.Module):
                                    query_chunk=self.query_chunk,
                                    shared_locations=self.shared_locations,
                                    bundle_corners=self.bundle,
-                                   point_chunk=self.point_chunk)
+                                   point_chunk=self.point_chunk,
+                                   query_unroll=self.query_unroll)
             w_sel = hit_sel.astype(out_m.dtype)
             contrib = (out_m * w_sel[..., None]).reshape(cams * M, C)
             slots = jnp.zeros((Q, C), out_m.dtype).at[
@@ -371,7 +375,8 @@ class BEVCrossAttention(nn.Module):
                                  query_chunk=self.query_chunk,
                                  shared_locations=self.shared_locations,
                                  bundle_corners=self.bundle,
-                                 point_chunk=self.point_chunk)
+                                 point_chunk=self.point_chunk,
+                                 query_unroll=self.query_unroll)
             hitf = hit.astype(out.dtype)                     # (cams, Q)
             slots = (out * hitf[..., None]).sum(0)           # (Q, C)
             count = jnp.maximum(hitf.sum(0), 1.0)
@@ -431,7 +436,15 @@ class TPVFormerLayer(nn.Module):
     attn_value_bf16: bool = False
     # exact corner-bundled MSDA gathers: "none" | "pairs" | "full"
     msda_bundle: str = "none"
-    msda_point_chunk: int = 0
+    # scalar, or one P-axis chunk per cross-attn plane (hw, zh, wz) — the
+    # planes' point counts differ (48/48/8 in the flagship), so the HBM-
+    # optimal chunk differs per plane (the global-scalar ladder bottomed at
+    # 16.40 GB with the 8-point wz plane left UNchunked; see
+    # docs/PERFORMANCE.md). Self-attn uses max() of a tuple.
+    msda_point_chunk: Any = 0
+    # Python-unrolled query split for the cross attns (scalar or per-plane;
+    # scan-safe memory lever, see ms_deform_attn(query_unroll=))
+    msda_query_unroll: Any = 0
     # per-plane norm/FFN parameter sets (reference MultiPlaneNorm /
     # MultiPlaneFFN, modules/split_norm.py + split_fpn.py; off in shipped
     # configs)
@@ -471,7 +484,9 @@ class TPVFormerLayer(nn.Module):
             dropout=self.dropout, query_chunk=self.self_query_chunk,
             shared_locations=self.shared_locations,
             value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
-            point_chunk=self.msda_point_chunk,
+            point_chunk=(max(self.msda_point_chunk)
+                         if isinstance(self.msda_point_chunk, (tuple, list))
+                         else self.msda_point_chunk),
             name="self_attn")(
                 q, pos, cross_view_ref, plane_shapes,
                 deterministic=deterministic)
@@ -491,6 +506,12 @@ class TPVFormerLayer(nn.Module):
             vc = self.visible_capacity
             if isinstance(vc, (tuple, list)):
                 vc = vc[i]
+            pc = self.msda_point_chunk
+            if isinstance(pc, (tuple, list)):
+                pc = pc[i]
+            qu = self.msda_query_unroll
+            if isinstance(qu, (tuple, list)):
+                qu = qu[i]
             out = BEVCrossAttention(
                 self.embed_dims, self.num_heads, self.num_levels,
                 n_pts, dropout=self.dropout,
@@ -498,7 +519,7 @@ class TPVFormerLayer(nn.Module):
                 shared_locations=self.shared_locations,
                 visible_capacity=vc,
                 value_bf16=self.attn_value_bf16, bundle=self.msda_bundle,
-            point_chunk=self.msda_point_chunk,
+                point_chunk=pc, query_unroll=qu,
                 name=f"cross_attn_{i}")(
                     plane, value, ref_cams_list[i], masks_list[i],
                     img_spatial_shapes, deterministic=deterministic)
@@ -802,7 +823,8 @@ class TPVFormerEncoder(nn.Module):
     # exact corner-bundled MSDA gathers ("pairs"/"full", ops/msda.py) —
     # reassociation-only, opt-in pending the remote-compiler retest
     msda_bundle: str = "none"
-    msda_point_chunk: int = 0
+    msda_point_chunk: Any = 0        # scalar or per-plane (hw, zh, wz)
+    msda_query_unroll: Any = 0       # scalar or per-plane (hw, zh, wz)
     multi_plane_ffn_norm: bool = False
     camera_aware: bool = False       # CameraAwareSE image-feature gating
     camera_aware_mid_channels: Optional[int] = None
@@ -934,6 +956,7 @@ class TPVFormerEncoder(nn.Module):
             attn_value_bf16=self.attn_value_bf16,
             msda_bundle=self.msda_bundle,
             msda_point_chunk=self.msda_point_chunk,
+            msda_query_unroll=self.msda_query_unroll,
             multi_plane_ffn_norm=self.multi_plane_ffn_norm,
             deterministic=deterministic, name="layers")
         carry, _ = layers(tuple(representation), value, tpv_pos,

@@ -115,6 +115,7 @@ class TPVSegmentor(nn.Module):
             attn_value_bf16=e.attn_value_bf16,
             msda_bundle=e.msda_bundle,
             msda_point_chunk=e.msda_point_chunk,
+            msda_query_unroll=e.msda_query_unroll,
             remat_layers=e.remat_layers,
             multi_plane_ffn_norm=e.multi_plane_ffn_norm,
             camera_aware=e.camera_aware,

@@ -326,7 +326,8 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
 
 def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
                    query_chunk: int = 0, shared_locations: bool = False,
-                   bundle_corners="none", point_chunk: int = 0):
+                   bundle_corners="none", point_chunk: int = 0,
+                   query_unroll: int = 0):
     """Multi-scale deformable attention.
 
     Args:
@@ -347,6 +348,13 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
         of this size — bounds the per-level gather transient that sets the
         fused train step's HBM peak (see ``_msda_dense``). 0 keeps the
         historical behavior (bundled: P // fan; unbundled: unchunked).
+      query_unroll: if > 1, split the query axis into this many slices with
+        a PYTHON loop (unrolled at trace time) and concatenate. Unlike
+        ``query_chunk`` (a ``lax.map``, which reliably faults the TPU
+        runtime when nested inside the encoder's ``nn.scan`` — CLAUDE.md),
+        unrolling is scan-safe; each slice's gather transients are bounded
+        at Q/n at the cost of n-x more HLO for this op. Memory lever for the
+        fused train step; a no-op for eval latency (same total rows).
 
     Returns:
       (B, Q, H * D) — fp32 accumulation regardless of the value dtype.
@@ -356,6 +364,18 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
     Q = sampling_locations.shape[1]
     assert L == sum(h * w for h, w in spatial_shapes), \
         f"L={L} vs shapes {spatial_shapes}"
+
+    if query_unroll > 1:
+        qs = -(-Q // query_unroll)
+        outs = []
+        for q0 in range(0, Q, qs):
+            outs.append(ms_deform_attn(
+                value, spatial_shapes,
+                sampling_locations[:, q0:q0 + qs],
+                attention_weights[:, q0:q0 + qs],
+                query_chunk=query_chunk, shared_locations=shared_locations,
+                bundle_corners=bundle_corners, point_chunk=point_chunk))
+        return jnp.concatenate(outs, axis=1)
 
     # split the flattened pyramid once (static level boundaries)
     value_levels = []

@@ -293,3 +293,41 @@ def test_msda_bundle_gradients_match_default():
         for a, b in zip(flat_d, flat_m):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=5e-4, err_msg=mode)
+
+
+def test_per_plane_point_chunk_matches_scalar():
+    """``msda_point_chunk`` as a per-plane tuple (hw, zh, wz) is the same
+    function as the scalar — chunking the P-axis accumulation is pure fp
+    reassociation (fwd + grad). The per-plane form exists because the
+    flagship planes' point counts differ (48/48/8), so the HBM-optimal
+    chunk differs per plane (docs/PERFORMANCE.md v5e fit ladder)."""
+    cfg_s = tiny_config(enc_kw=dict(msda_bundle="full", msda_point_chunk=2))
+    cfg_t = tiny_config(enc_kw=dict(msda_bundle="full",
+                                    msda_point_chunk=(2, 2, 1)))
+    model_s = TPVSegmentor(cfg_s.model)
+    cams = make_cameras(cfg_s.num_cams, (32, 48))
+    imgs = jnp.asarray(
+        np.random.RandomState(5).rand(1, cfg_s.num_cams, 32, 48, 3),
+        jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = model_s.init({"params": rng, "dropout": rng}, imgs,
+                             cams["lidar2img"], train=False,
+                             method="get_representation")
+
+    def loss_for(cfg_variant):
+        model = TPVSegmentor(cfg_variant.model)
+
+        def f(params):
+            rep = model.apply({**variables, "params": params}, imgs,
+                              cams["lidar2img"], train=False,
+                              method="get_representation")
+            return sum(jnp.sum(r ** 2) for r in rep)
+        return f
+
+    v_s, g_s = jax.value_and_grad(loss_for(cfg_s))(variables["params"])
+    v_t, g_t = jax.value_and_grad(loss_for(cfg_t))(variables["params"])
+    np.testing.assert_allclose(float(v_s), float(v_t), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g_s),
+                    jax.tree_util.tree_leaves(g_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
