@@ -47,19 +47,11 @@ echo "$(date -u +%FT%TZ) TPU UP — bench default (headline+frames+occ)" >> "$OU
 timeout 7200 python bench.py > "$OUT/bench_r5_default.json" 2> "$OUT/bench_r5_default.log"
 echo "$(date -u +%FT%TZ) bench default rc=$?" >> "$OUT/status.log"
 
-probe
-echo "$(date -u +%FT%TZ) exact-train fit probe" >> "$OUT/status.log"
-timeout 3600 python tools/probe_train_mem.py nuscenes_occ_compact_train_bundle \
-  > "$OUT/probe_ct_bundle.log" 2>&1
-echo "$(date -u +%FT%TZ) fit probe rc=$?" >> "$OUT/status.log"
-if grep -q "total=" "$OUT/probe_ct_bundle.log"; then
-  probe
-  echo "$(date -u +%FT%TZ) fit OK — 24 sustained steps" >> "$OUT/status.log"
-  timeout 5400 python train.py --py-config nuscenes_occ_compact_train_bundle \
-    --synthetic --max-steps 24 --print-freq 1 --work-dir /tmp/battery_ct \
-    > "$OUT/train_ct_bundle.log" 2>&1
-  echo "$(date -u +%FT%TZ) sustained train rc=$?" >> "$OUT/status.log"
-fi
+# (The exact-train v5e fit question is SETTLED as does-not-fit: a 14-point
+# round-5 lever matrix — point_chunk ladder incl. per-plane tuples,
+# train_ray_chunk, capacity tightening, query_unroll, batch-folded gather —
+# bottomed at 16.40 GB vs 15.75 usable; see .tpu_runs/sweep_fit.log and
+# docs/PERFORMANCE.md. No fit probe here anymore.)
 
 probe
 echo "$(date -u +%FT%TZ) skip-delta (fast-tier depth deviation + speedup)" >> "$OUT/status.log"
