@@ -136,3 +136,29 @@ def test_msda_bf16_values_fp32_accumulate():
         assert out.dtype == jnp.float32, bundle
         np.testing.assert_allclose(np.asarray(out), ref,
                                    atol=2e-2, rtol=2e-2, err_msg=bundle)
+
+
+def test_msda_query_unroll_matches_torch():
+    """``query_unroll`` (Python-unrolled query split — the scan-safe train
+    memory lever, unlike the lax.map ``query_chunk``) is the same function:
+    golden vs the torch fallback in every bundle mode, fwd + value-grad,
+    including an unroll that does not divide Q evenly."""
+    import jax
+    value, loc, att, shapes = _random_case(11)
+    want = torch_msda(torch.from_numpy(value), shapes,
+                      torch.from_numpy(loc), torch.from_numpy(att)).numpy()
+    for mode in ("none", "full"):
+        for n in (2, 4):  # q=37 → uneven slices
+            out = np.asarray(ms_deform_attn(
+                jnp.asarray(value), shapes, jnp.asarray(loc),
+                jnp.asarray(att), bundle_corners=mode, query_unroll=n))
+            np.testing.assert_allclose(out, want, atol=2e-5, rtol=2e-5,
+                                       err_msg=f"{mode}/qu{n}")
+        g_ref = jax.grad(lambda v: ms_deform_attn(
+            v, shapes, jnp.asarray(loc), jnp.asarray(att),
+            bundle_corners=mode).sum())(jnp.asarray(value))
+        g_qu = jax.grad(lambda v: ms_deform_attn(
+            v, shapes, jnp.asarray(loc), jnp.asarray(att),
+            bundle_corners=mode, query_unroll=3).sum())(jnp.asarray(value))
+        np.testing.assert_allclose(np.asarray(g_qu), np.asarray(g_ref),
+                                   atol=2e-5, rtol=2e-5, err_msg=mode)
