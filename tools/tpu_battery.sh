@@ -8,8 +8,11 @@
 #      must finish < 8 min or the step FAILS — this is the regression guard
 #      for the driver's MULTICHIP budget (r4 shipped rc:124 because round-4
 #      compiles silently grew past it; now cold ~5 min / warm ~1.5 min).
-#   1. bench.py default — render headline + fast frame (now with eval-skip)
-#      + exact frame + forward_occ entry [VERDICT r4 #4 #5]
+#   1. bench.py default — render headline + fast frame + exact frame +
+#      forward_occ entry [VERDICT r4 #4]
+#      (eval-skip was UNWIRED from the fast recipe after the round-5
+#      skip-delta measurement: 3.4x slower + 0.97 m depth deviation —
+#      docs/PERFORMANCE.md dead ends; skip_delta.py opts in explicitly)
 #   2. exact-train v5e fit probe (best point_chunk from the round-5 sweep,
 #      see .tpu_runs/sweep_fit.log) + 24 sustained steps when it fits
 #      [VERDICT r4 #2]
