@@ -166,13 +166,20 @@ def bench_occ(args):
     """forward_occ per-frame latency (the eval_iou workload, VERDICT r4 #4):
     prepare (backbone -> encoder -> fp32 field decode) + the reference's
     512x512x40 uniform occupancy-grid query over [-51.2,51.2]^2 x [-5,3] at
-    0.2 m (reference ``eval_iou.py:166-289``). Uses ``GridOccEvaluator``
-    exactly as eval_iou.py does (single-jit on one chip, point-sharded on a
-    mesh)."""
+    0.2 m (reference ``eval_iou.py:166-289``), with BOTH scoring paths'
+    real fetch patterns:
+      * Occ3D: fused on-device ego-grid resample (``query_grid_occ3d``) —
+        only the (200,200,16) results cross the host link;
+      * OpenOccupancy: ``query_grid(keys=("sdf", "sem"))`` — the dense sdf
+        + argmax grids, never the ~900 MB logits volume.
+    Uses ``GridOccEvaluator`` exactly as eval_iou.py does (single-jit on
+    one chip, point-sharded on a mesh)."""
     import jax
     from selfocc_tpu.utils.jax_cache import enable as enable_jax_cache
     enable_jax_cache()
     import jax.numpy as jnp
+    import numpy as np
+    from eval_iou import occ3d_ego_to_grid_coords
     from selfocc_tpu.configs.experiments import get_config
     from selfocc_tpu.data.synthetic import SyntheticDataset
     from selfocc_tpu.models.segmentor import TPVSegmentor
@@ -186,15 +193,20 @@ def bench_occ(args):
     variables = init_variables(model, cfg, batch)
     ev = GridOccEvaluator(model, variables, shard=False)
 
-    pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)   # OpenOcc pcr, res 0.2
+    pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)   # scene-size 5, res 0.2
+    expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
     resolution = 0.2
+    ego2lidar = np.eye(4)
+    ego2lidar[:3, 3] = [0.9, 0.0, -1.8]           # nominal ego->lidar offset
+    pts = occ3d_ego_to_grid_coords(pcr, expansion, ego2lidar)
 
-    # compile both stages (query_grid ends in np.asarray — already forced)
+    # compile all stages (queries end in np.asarray — already forced)
     vol = ev.prepare(batch["imgs"], batch["lidar2img"])
     jax.block_until_ready(vol)
     _ = float(jnp.sum(vol[0, :2, :2, :2].astype(jnp.float32)))
-    out = ev.query_grid(vol, pcr, resolution)
+    out = ev.query_grid(vol, pcr, resolution, keys=("sdf", "sem"))
     grid_shape = list(out["sdf"].shape)
+    _ = ev.query_grid_occ3d(vol, pcr, resolution, pts, pcr, expansion)
 
     vol = None
     t0 = time.time()
@@ -203,11 +215,15 @@ def bench_occ(args):
     _ = float(jnp.sum(vol[0, :2, :2, :2].astype(jnp.float32)))
     prep_s = time.time() - t0
     t0 = time.time()
-    out = ev.query_grid(vol, pcr, resolution)   # device_get forces fetch
-    query_s = time.time() - t0
+    outr = ev.query_grid_occ3d(vol, pcr, resolution, pts, pcr, expansion)
+    occ3d_query_s = time.time() - t0
+    t0 = time.time()
+    out = ev.query_grid(vol, pcr, resolution, keys=("sdf", "sem"))
+    openocc_query_s = time.time() - t0
 
-    frame_s = prep_s + query_s
+    frame_s = prep_s + occ3d_query_s                # the headline: Occ3D
     val_frames = 6019
+    n_pts = grid_shape[0] * grid_shape[1] * grid_shape[2]
     return {
         "metric": "forward_occ_seconds",
         "value": round(frame_s, 2),
@@ -215,9 +231,9 @@ def bench_occ(args):
         "config": cfg.name,
         "grid": grid_shape,
         "prepare_s": round(prep_s, 2),
-        "query_s": round(query_s, 2),
-        "points_per_sec_m": round(
-            grid_shape[0] * grid_shape[1] * grid_shape[2] / query_s / 1e6, 1),
+        "occ3d_query_s": round(occ3d_query_s, 2),
+        "openocc_query_s": round(openocc_query_s, 2),
+        "points_per_sec_m": round(n_pts / occ3d_query_s / 1e6, 1),
         "est_val_6019_frames_1chip_h": round(val_frames * frame_s / 3600, 1),
     }
 
@@ -422,7 +438,8 @@ def main():
             "occ_config": occ["config"],
             "occ_frame_s": occ["value"],
             "occ_prepare_s": occ["prepare_s"],
-            "occ_query_s": occ["query_s"],
+            "occ_occ3d_query_s": occ["occ3d_query_s"],
+            "occ_openocc_query_s": occ["openocc_query_s"],
             "occ_points_per_sec_m": occ["points_per_sec_m"],
         })
     except Exception as e:   # pragma: no cover - depends on device state

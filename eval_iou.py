@@ -235,10 +235,8 @@ def main():
         item = ds[i]
         batch = {k: jnp.asarray(v) for k, v in item.items()
                  if not isinstance(v, (str, dict))}
-        out = evaluator.forward_occ(batch["imgs"], batch["lidar2img"],
-                                    tuple(pcr), args.resolution,
-                                    **camera_kwargs(cfg, batch))
-        sdf = np.asarray(out["sdf"])
+        volume = evaluator.prepare(batch["imgs"], batch["lidar2img"],
+                                   **camera_kwargs(cfg, batch))
 
         occ3d_targets = None
         if args.occ3d:
@@ -251,7 +249,14 @@ def main():
             ego2lidar = np.asarray(batch.get(
                 "ego2lidar", jnp.eye(4)[None]))[0]
             pts = occ3d_ego_to_grid_coords(pcr, expansion, ego2lidar)
-            sdf_r = resample_volume_at(sdf, pts, pcr, expansion)
+            # fused on-device resample: identical math to the staged
+            # fetch -> resample_volume_at path (asserted in
+            # tests/test_eval_iou.py) without moving the dense ~900 MB
+            # logits grid host<->device twice per frame
+            outr = evaluator.query_grid_occ3d(volume, tuple(pcr),
+                                              args.resolution, pts, pcr,
+                                              expansion)
+            sdf_r = outr["sdf_r"]
             occ = (sdf_r >= args.thresh) if args.density \
                 else (sdf_r <= args.thresh)
             pred_occ_iou = apply_occ3d_crops(occ.astype(np.int32))
@@ -263,14 +268,17 @@ def main():
             iou_metric._after_step(pred_occ_iou, gt_occ_iou,
                                    masks if args.use_mask else None)
             pred_occ_miou = None
-            if miou_metric is not None:
-                logits = np.asarray(out["logits"])       # (H, W, D, C)
-                logits_r = resample_volume_at(logits, pts, pcr, expansion)
-                sem = sem_remap(np.argmax(logits_r, axis=-1))
+            if miou_metric is not None and "sem_r" in outr:
+                sem = sem_remap(np.asarray(outr["sem_r"]))
                 pred_occ_miou = pred_occ_iou * sem
                 miou_metric._after_step(pred_occ_miou, gt_raw,
                                         masks if args.use_mask else None)
         elif not args.occ3d and "openocc_label_path" in item:
+            out = evaluator.query_grid(
+                volume, tuple(pcr), args.resolution,
+                keys=("sdf", "sem") if miou_metric is not None
+                else ("sdf",))
+            sdf = np.asarray(out["sdf"])
             occ = (sdf >= args.thresh) if args.density \
                 else (sdf <= args.thresh)
             pred_occ_iou = apply_openocc_crops(occ.astype(np.int32))
@@ -315,6 +323,8 @@ def main():
                         "binary IoU only (sem predictions still saved "
                         "with --save-sem)")
         elif hasattr(ds, "gt_occupancy"):
+            sdf = np.asarray(evaluator.query_grid(
+                volume, tuple(pcr), args.resolution, keys=("sdf",))["sdf"])
             occ = (sdf >= args.thresh) if args.density \
                 else (sdf <= args.thresh)
             gt = ds.gt_occupancy(pcr, args.resolution)

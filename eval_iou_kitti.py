@@ -78,6 +78,8 @@ def main():
         batch = as_arrays(ds[i])
         out = evaluator.forward_occ(batch["imgs"], batch["lidar2img"],
                                     KITTI_AABB, args.resolution,
+                                    keys=("sdf", "sem") if args.sem
+                                    else ("sdf",),
                                     **camera_kwargs(cfg, batch))
         pred_occ = (np.asarray(out["sdf"]) <= args.thresh).astype(np.int32)
 

@@ -287,16 +287,17 @@ class GridOccEvaluator:
         else:
             self.n_shard = 1
             self._occ = jax.jit(_occ_fn)
+        self._occ3d_jits: Dict = {}
 
     def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
                 cam2ego=None):
         return self._prep.prepare(imgs, lidar2img, flip=flip,
                                   intrinsic=intrinsic, cam2ego=cam2ego)
 
-    def query_grid(self, volume, aabb, resolution) -> Dict[str, np.ndarray]:
-        """Uniform-grid query — identical grid math to
+    def _flat_grid(self, aabb, resolution):
+        """Uniform metric grid — identical grid math to
         ``NeuSHead.get_uniform_sdf`` (same jnp.linspace/meshgrid ops), with
-        the flat point axis padded to the shard count and cropped back."""
+        the flat point axis padded to the shard count."""
         xs = jnp.linspace(aabb[0], aabb[3],
                           int((aabb[3] - aabb[0]) / resolution))
         ys = jnp.linspace(aabb[1], aabb[4],
@@ -311,19 +312,85 @@ class GridOccEvaluator:
         pad = (-n) % self.n_shard
         if pad:
             flat = jnp.concatenate([flat, flat[-1:].repeat(pad, 0)], 0)
+        return flat, (H, W, D), n, xyz
+
+    def query_grid(self, volume, aabb, resolution,
+                   keys=None) -> Dict[str, np.ndarray]:
+        """Uniform-grid query (see ``_flat_grid``), cropped back to the
+        unpadded grid. ``keys`` selects which outputs cross the host link —
+        the dense (512,512,40,C) logits grid is ~900 MB fp32 and the axon
+        tunnel makes its fetch the eval_iou frame bottleneck
+        (``tools/probe_occ_split.py``); the OpenOccupancy scoring path only
+        needs ``("sdf", "sem")``."""
+        flat, (H, W, D), n, xyz = self._flat_grid(aabb, resolution)
         out = self._occ(self.variables, volume, flat)
+        if keys is not None:
+            out = {k: out[k] for k in keys if k in out}
         res = {k: np.asarray(jax.device_get(v))[:n].reshape(
             (H, W, D) + tuple(v.shape[1:])) for k, v in out.items()}
         res["xyz"] = np.asarray(xyz)
         return res
 
+    def _occ3d_jit(self, grid_shape):
+        """Fused forward_occ + Occ3D ego-grid resample, compiled per dense
+        grid shape: uniform-grid query -> (H,W,D[,C]) volumes -> trilinear
+        resample at fractional ego-grid indices -> argmax semantics, all on
+        device. The staged path (reference ``eval_iou.py:210-250``) fetches
+        the dense logits grid to host and re-uploads it for
+        ``resample_volume_at`` — two ~900 MB tunnel crossings per frame;
+        this jit moves only the (200,200,16) results."""
+        if grid_shape not in self._occ3d_jits:
+            H, W, D = grid_shape
+            model = self.model
+            n = H * W * D
+
+            def fn(v, vol, flat, idx):
+                from ..ops.interp import trilinear_sample
+                out = model.apply(v, vol, flat, method="occ_from_volume")
+                sdf = out["sdf"][:n].reshape(H, W, D)[..., None]
+                res = {"sdf_r": trilinear_sample(sdf, idx, "zeros")[..., 0]}
+                if "logits" in out:
+                    logits = out["logits"][:n].reshape(H, W, D, -1)
+                    res["sem_r"] = jnp.argmax(
+                        trilinear_sample(logits, idx, "zeros"), axis=-1)
+                return res
+
+            if self.n_shard > 1:
+                from ..parallel.mesh import (batch_sharded, make_mesh,
+                                             replicated)
+                mesh = make_mesh()
+                self._occ3d_jits[grid_shape] = jax.jit(
+                    fn, in_shardings=(replicated(mesh), replicated(mesh),
+                                      batch_sharded(mesh),
+                                      replicated(mesh)))
+            else:
+                self._occ3d_jits[grid_shape] = jax.jit(fn)
+        return self._occ3d_jits[grid_shape]
+
+    def query_grid_occ3d(self, volume, aabb, resolution, pts, pcr,
+                         expansion) -> Dict[str, np.ndarray]:
+        """Occ3D-path query: uniform grid + resample at metric lidar-frame
+        points ``pts`` (``eval_iou.occ3d_ego_to_grid_coords``) in one device
+        program. Index math is identical to ``eval_iou.resample_volume_at``
+        (align-corners, (H,W,D) <-> (y,x,z) layout); parity with the staged
+        fetch->resample path is asserted in ``tests/test_eval_iou.py``."""
+        flat, (H, W, D), _, _ = self._flat_grid(aabb, resolution)
+        pts = np.asarray(pts)
+        fy = (pts[..., 1] - pcr[1]) / expansion[1] * (H - 1)
+        fx = (pts[..., 0] - pcr[0]) / expansion[0] * (W - 1)
+        fz = (pts[..., 2] - pcr[2]) / expansion[2] * (D - 1)
+        idx = jnp.asarray(np.stack([fy, fx, fz], -1), jnp.float32)
+        out = self._occ3d_jit((H, W, D))(self.variables, volume, flat, idx)
+        return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
+
     def forward_occ(self, imgs, lidar2img, aabb, resolution, flip=False,
-                    intrinsic=None, cam2ego=None) -> Dict[str, np.ndarray]:
+                    intrinsic=None, cam2ego=None,
+                    keys=None) -> Dict[str, np.ndarray]:
         """prepare + query_grid — drop-in for the single-jit
         ``TPVSegmentor.forward_occ`` eval call."""
         volume = self.prepare(imgs, lidar2img, flip=flip,
                               intrinsic=intrinsic, cam2ego=cam2ego)
-        return self.query_grid(volume, aabb, resolution)
+        return self.query_grid(volume, aabb, resolution, keys=keys)
 
 
 def prep_input_imgs(input_imgs, cfg: Config):

@@ -120,3 +120,73 @@ def test_sem_space_lut_applied():
     out = openseed2nuscenes(sem)
     # openseed {barrier->1, person->7, sky->0, truck->10, tree->16, crane->5}
     np.testing.assert_array_equal(out, [[1, 7, 0], [10, 16, 5]])
+
+
+@pytest.mark.parametrize("shard", [False, True])
+def test_query_grid_occ3d_matches_staged(shard):
+    """The fused on-device Occ3D query (``GridOccEvaluator.query_grid_occ3d``)
+    must reproduce the staged fetch -> ``resample_volume_at`` -> argmax path
+    exactly — fusion only removes the dense grid's host<->device round trip
+    (~900 MB/frame of logits at the flagship 512x512x40 grid)."""
+    import jax
+    from utils_tiny import TINY_PC_RANGE, make_cameras, tiny_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+
+    if shard and len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+
+    cfg = tiny_config(num_cams=2, sem=True)
+    model = TPVSegmentor(cfg=cfg.model)
+    rs = np.random.RandomState(7)
+    imgs = rs.rand(1, 2, *cfg.input_size, 3).astype(np.float32)
+    cams = make_cameras(2, cfg.input_size)
+    l2i = np.asarray(cams["lidar2img"], np.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i,
+                           method="prepare")
+    ev = GridOccEvaluator(model, variables, shard=shard)
+    volume = ev.prepare(imgs, l2i)
+
+    pcr = list(TINY_PC_RANGE)
+    expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
+    reso = 1.6  # 12x12x2 grid — not divisible by the 8-device mesh
+    # metric query points straddling the AABB (exercises zeros padding)
+    pts = np.stack([rs.uniform(pcr[k] - 2, pcr[k + 3] + 2, size=(9, 7, 4))
+                    for k in range(3)], -1).astype(np.float32)
+
+    fused = ev.query_grid_occ3d(volume, tuple(pcr), reso, pts, pcr,
+                                expansion)
+    staged = ev.query_grid(volume, tuple(pcr), reso)
+    sdf_r = ei.resample_volume_at(staged["sdf"], pts, pcr, expansion)
+    logits_r = ei.resample_volume_at(staged["logits"], pts, pcr, expansion)
+
+    assert fused["sdf_r"].shape == (9, 7, 4)
+    np.testing.assert_allclose(fused["sdf_r"], sdf_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(fused["sem_r"], np.argmax(logits_r, -1))
+
+
+def test_query_grid_keys_selects_fetch():
+    """``keys=`` must restrict what query_grid returns (the OpenOccupancy
+    scoring path fetches only sdf+sem, skipping the dense logits grid)."""
+    import jax
+    from utils_tiny import TINY_PC_RANGE, make_cameras, tiny_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+
+    cfg = tiny_config(num_cams=2, sem=True)
+    model = TPVSegmentor(cfg=cfg.model)
+    rs = np.random.RandomState(3)
+    imgs = rs.rand(1, 2, *cfg.input_size, 3).astype(np.float32)
+    l2i = np.asarray(make_cameras(2, cfg.input_size)["lidar2img"],
+                     np.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i,
+                           method="prepare")
+    ev = GridOccEvaluator(model, variables, shard=False)
+    volume = ev.prepare(imgs, l2i)
+
+    full = ev.query_grid(volume, TINY_PC_RANGE, 1.6)
+    sel = ev.query_grid(volume, TINY_PC_RANGE, 1.6, keys=("sdf", "sem"))
+    assert set(sel) == {"sdf", "sem", "xyz"}
+    assert {"sdf", "sem", "logits"} <= set(full)
+    np.testing.assert_array_equal(sel["sdf"], full["sdf"])
+    np.testing.assert_array_equal(sel["sem"], full["sem"])
