@@ -164,6 +164,24 @@ def test_query_grid_occ3d_matches_staged(shard):
     np.testing.assert_allclose(fused["sdf_r"], sdf_r, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(fused["sem_r"], np.argmax(logits_r, -1))
 
+    if shard:
+        # 6x6x1 grid = 36 points, NOT divisible by the 8-device mesh —
+        # exercises the pad-then-slice path inside the fused jit
+        reso = 2.9
+        flat, _, n36, _ = ev._flat_grid(tuple(pcr), reso)
+        assert flat.shape[0] != n36
+        fused = ev.query_grid_occ3d(volume, tuple(pcr), reso, pts, pcr,
+                                    expansion)
+        staged = ev.query_grid(volume, tuple(pcr), reso)
+        np.testing.assert_allclose(
+            fused["sdf_r"],
+            ei.resample_volume_at(staged["sdf"], pts, pcr, expansion),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(
+            fused["sem_r"],
+            np.argmax(ei.resample_volume_at(staged["logits"], pts, pcr,
+                                            expansion), -1))
+
 
 def test_query_grid_keys_selects_fetch():
     """``keys=`` must restrict what query_grid returns (the OpenOccupancy
