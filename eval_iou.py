@@ -81,6 +81,13 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--no-shard", action="store_true",
                     help="disable grid sharding (single-device jit)")
+    ap.add_argument("--grid-query", default="gather",
+                    choices=["gather", "separable"],
+                    help="dense-grid field query: 'gather' (parity default, "
+                         "bit-matches the reference grid_sample) or "
+                         "'separable' (factored per-axis lerps — same "
+                         "interpolant, ~1 ulp fp32 rounding difference, "
+                         "far faster on TPU; docs/PERFORMANCE.md)")
     ap.add_argument("--prepare-shard", action="store_true",
                     help="also shard the encoder prepare over the camera "
                          "axis (see eval_depth --prepare-shard)")
@@ -213,7 +220,8 @@ def main():
     # bottleneck and previously left n-1 chips idle
     from selfocc_tpu.utils.eval_lib import GridOccEvaluator
     evaluator = GridOccEvaluator(model, variables, shard=not args.no_shard,
-                                 prepare_shard=args.prepare_shard)
+                                 prepare_shard=args.prepare_shard,
+                                 query=args.grid_query)
 
     # both metrics are MeanIoU instances, dataset_empty_label=0
     # (reference eval_iou.py:138-149)

@@ -207,3 +207,12 @@ class NeRFAccHead(nn.Module):
             out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
             out["logits"] = geo["sem_logits"]
         return out
+
+    def occ_uniform(self, volume, xs, ys, zs):
+        """Separable-grid density query (see ``NeuSHead.occ_uniform``)."""
+        geo = self.radiance_field.query_geo_uniform(volume, xs, ys, zs)
+        out = {"sdf": jax.nn.softplus(geo["sdf"])}
+        if self.return_sem and self.sem_dims > 0:
+            out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
+            out["logits"] = geo["sem_logits"]
+        return out

@@ -169,6 +169,32 @@ class TPVSDFField(nn.Module):
             "sem_logits": vals[..., 1 + self.n_sh:],
         }
 
+    def query_geo_uniform(self, volume, xs, ys, zs):
+        """``query_geo`` on a SEPARABLE metric grid (``ys`` x ``xs`` x ``zs``
+        -> (H, W, D) output axes): ``meter2grid`` maps each metric axis
+        independently (h<-y, w<-x, d<-z), so the trilinear query factorizes
+        into three per-axis lerps (``ops.interp.separable_grid_resample_cf``)
+        — whole-axis bandwidth instead of 8 corner-gather rows per point.
+        Same interpolant/masks as ``query_geo``, fp32 rounding order differs
+        by the lerp nesting (~1 ulp) — opt-in fast occupancy query
+        (``eval_iou --grid-query separable``)."""
+        from ..ops.interp import separable_grid_resample_cf
+        zs_like = jnp.zeros_like
+        gh = self.mapping.meter2grid(jnp.stack(
+            [zs_like(ys), ys, zs_like(ys)], -1).astype(jnp.float32))[..., 0]
+        gw = self.mapping.meter2grid(jnp.stack(
+            [xs, zs_like(xs), zs_like(xs)], -1).astype(jnp.float32))[..., 1]
+        gd = self.mapping.meter2grid(jnp.stack(
+            [zs_like(zs), zs_like(zs), zs], -1).astype(jnp.float32))[..., 2]
+        vals = separable_grid_resample_cf(volume.astype(jnp.float32),
+                                          gh, gw, gd)
+        vals = jnp.moveaxis(vals, 0, -1)            # (Ho, Wo, Do, C)
+        return {
+            "sdf": vals[..., 0],
+            "color_feat": vals[..., 1:1 + self.n_sh],
+            "sem_logits": vals[..., 1 + self.n_sh:],
+        }
+
     def sdf(self, volume, xyz):
         """SDF-only query — interpolates just channel 0 so gradient taps don't
         gather the full channel stack."""

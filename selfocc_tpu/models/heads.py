@@ -565,6 +565,17 @@ class NeuSHead(nn.Module):
             out["logits"] = geo["sem_logits"]
         return out
 
+    def occ_uniform(self, volume, xs, ys, zs):
+        """``occ_from_volume`` on a separable metric grid via the factored
+        per-axis query (``field.query_geo_uniform``) — the opt-in fast
+        occupancy eval (``eval_iou --grid-query separable``)."""
+        geo = self.field.query_geo_uniform(volume, xs, ys, zs)
+        out = {"sdf": geo["sdf"]}
+        if self.return_sem and self.sem_dims > 0:
+            out["sem"] = jnp.argmax(geo["sem_logits"], axis=-1)
+            out["logits"] = geo["sem_logits"]
+        return out
+
 
 def split_cams_for_losses(outputs, num_cams):
     """two_split camera halving (``neus_head.py:647-665``): first half keeps

@@ -264,6 +264,11 @@ class TPVSegmentor(nn.Module):
         ``eval_lib.GridOccEvaluator``)."""
         return self.head.occ_from_volume(volume, xyz)
 
+    def occ_uniform(self, volume, xs, ys, zs):
+        """Separable-grid occupancy query against a prepared volume (the
+        opt-in fast eval query — ``eval_iou --grid-query separable``)."""
+        return self.head.occ_uniform(volume, xs, ys, zs)
+
     def render_rays(self, volume, origin, direction, geo_only=False):
         """Render a ray chunk against a prepared volume (eval-time chunked
         rendering, ``neus_head.py:308-471``). ``geo_only`` (static) gathers

@@ -356,3 +356,42 @@ def trilinear_sample_cf_bundled(bundle, vol_shape, hwd):
                 term = wgt.astype(g.dtype)[None, :] * g[k * C:(k + 1) * C]
                 vals = term if vals is None else vals + term
     return vals.T.reshape(*pts_shape, C)
+
+
+def lerp_axis_cf(vol_cf, g, axis: int):
+    """Linear interpolation of a channel-first volume along ONE spatial axis
+    at fractional indices ``g`` (1-D), with zeros padding outside
+    ``[0, size-1]``. Returns the volume with that axis resized to
+    ``g.shape[0]``."""
+    size = vol_cf.shape[axis]
+    i0 = jnp.floor(g)
+    f = (g - i0).astype(vol_cf.dtype)
+    i0i = i0.astype(jnp.int32)
+    w0 = (1.0 - f) * ((i0i >= 0) & (i0i <= size - 1))
+    w1 = f * ((i0i + 1 >= 0) & (i0i + 1 <= size - 1))
+    v0 = jnp.take(vol_cf, jnp.clip(i0i, 0, size - 1), axis=axis)
+    v1 = jnp.take(vol_cf, jnp.clip(i0i + 1, 0, size - 1), axis=axis)
+    shape = [1] * vol_cf.ndim
+    shape[axis] = g.shape[0]
+    return v0 * w0.reshape(shape) + v1 * w1.reshape(shape)
+
+
+def separable_grid_resample_cf(vol_cf, gh, gw, gd):
+    """Trilinear sampling of a (C, H, W, D) volume on a SEPARABLE index grid
+    (``gh`` x ``gw`` x ``gd`` fractional indices) -> (C, Ho, Wo, Do).
+
+    The uniform occupancy-eval grid is separable in metric space and
+    ``GridMeterMapping.meter2grid`` maps each metric axis independently
+    (h<-y, w<-x, d<-z), so the 8-corner gather of ``trilinear_sample_cf``
+    factorizes into three per-axis lerps: bandwidth-bound whole-axis takes
+    (~5 GB of HBM traffic on the flagship 512x512x40 query, milliseconds)
+    instead of 84M gather rows at the ~145M rows/s issue-rate ceiling
+    (docs/PERFORMANCE.md). Same interpolant and the same zeros-padding
+    masks (per-corner mask == product of per-axis masks); the fp32
+    rounding ORDER differs from the expanded corner sum (nested lerps
+    instead of an 8-term weighted sum), so results can differ by ~1 ulp —
+    the gather path stays the parity default, this is the opt-in fast
+    query (``eval_iou --grid-query separable``)."""
+    out = lerp_axis_cf(vol_cf, gh, 1)
+    out = lerp_axis_cf(out, gw, 2)
+    return lerp_axis_cf(out, gd, 3)

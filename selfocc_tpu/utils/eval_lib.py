@@ -264,9 +264,18 @@ class GridOccEvaluator:
     (``tests/test_eval_lib_shard.py``) and in ``dryrun_multichip``."""
 
     def __init__(self, model, variables, shard: bool = True,
-                 prepare_shard: bool = False):
+                 prepare_shard: bool = False, query: str = "gather"):
         self.model = model
         self.variables = variables
+        # "gather" = the parity default (8 corner-gather rows per point,
+        # bit-matches the reference's grid_sample path); "separable" = the
+        # factored per-axis query (``TPVSDFField.query_geo_uniform``): same
+        # interpolant, ~1 ulp fp32 rounding difference, whole-axis
+        # bandwidth instead of gather rows. Separable runs as one
+        # replicated program (no grid sharding — it is already far off the
+        # gather issue-rate ceiling that sharding divides).
+        assert query in ("gather", "separable"), query
+        self.query = query
         # the occupancy numbers feed IoU parity claims: keep the decoded
         # volume fp32 (unlike the depth render's bf16 fast path)
         self._prep = ChunkedRenderer(model, variables, shard=False,
@@ -275,6 +284,9 @@ class GridOccEvaluator:
 
         def _occ_fn(v, vol, xyz):
             return model.apply(v, vol, xyz, method="occ_from_volume")
+
+        def _occ_sep_fn(v, vol, xs, ys, zs):
+            return model.apply(v, vol, xs, ys, zs, method="occ_uniform")
 
         if shard and len(jax.devices()) > 1:
             from ..parallel.mesh import batch_sharded, make_mesh, replicated
@@ -287,23 +299,30 @@ class GridOccEvaluator:
         else:
             self.n_shard = 1
             self._occ = jax.jit(_occ_fn)
+        self._occ_sep = jax.jit(_occ_sep_fn)
         self._occ3d_jits: Dict = {}
+        self._occ3d_sep = None
 
     def prepare(self, imgs, lidar2img, flip=False, intrinsic=None,
                 cam2ego=None):
         return self._prep.prepare(imgs, lidar2img, flip=flip,
                                   intrinsic=intrinsic, cam2ego=cam2ego)
 
-    def _flat_grid(self, aabb, resolution):
-        """Uniform metric grid — identical grid math to
-        ``NeuSHead.get_uniform_sdf`` (same jnp.linspace/meshgrid ops), with
-        the flat point axis padded to the shard count."""
+    def _axes(self, aabb, resolution):
+        """Per-axis uniform metric coordinates — identical linspace math to
+        ``NeuSHead.get_uniform_sdf``."""
         xs = jnp.linspace(aabb[0], aabb[3],
                           int((aabb[3] - aabb[0]) / resolution))
         ys = jnp.linspace(aabb[1], aabb[4],
                           int((aabb[4] - aabb[1]) / resolution))
         zs = jnp.linspace(aabb[2], aabb[5],
                           int((aabb[5] - aabb[2]) / resolution))
+        return xs, ys, zs
+
+    def _flat_grid(self, aabb, resolution):
+        """Uniform metric grid (see ``_axes``), flattened with the point
+        axis padded to the shard count."""
+        xs, ys, zs = self._axes(aabb, resolution)
         H, W, D = ys.shape[0], xs.shape[0], zs.shape[0]
         xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"), axis=-1)
         xyz = xyz[..., [1, 0, 2]]
@@ -322,6 +341,17 @@ class GridOccEvaluator:
         tunnel makes its fetch the eval_iou frame bottleneck
         (``tools/probe_occ_split.py``); the OpenOccupancy scoring path only
         needs ``("sdf", "sem")``."""
+        if self.query == "separable":
+            xs, ys, zs = self._axes(aabb, resolution)
+            out = self._occ_sep(self.variables, volume, xs, ys, zs)
+            if keys is not None:
+                out = {k: out[k] for k in keys if k in out}
+            res = {k: np.asarray(jax.device_get(v))
+                   for k, v in out.items()}
+            xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"),
+                            axis=-1)[..., [1, 0, 2]]
+            res["xyz"] = np.asarray(xyz)
+            return res
         flat, (H, W, D), n, xyz = self._flat_grid(aabb, resolution)
         out = self._occ(self.variables, volume, flat)
         if keys is not None:
@@ -374,12 +404,33 @@ class GridOccEvaluator:
         program. Index math is identical to ``eval_iou.resample_volume_at``
         (align-corners, (H,W,D) <-> (y,x,z) layout); parity with the staged
         fetch->resample path is asserted in ``tests/test_eval_iou.py``."""
-        flat, (H, W, D), _, _ = self._flat_grid(aabb, resolution)
+        xs, ys, zs = self._axes(aabb, resolution)
+        H, W, D = ys.shape[0], xs.shape[0], zs.shape[0]
         pts = np.asarray(pts)
         fy = (pts[..., 1] - pcr[1]) / expansion[1] * (H - 1)
         fx = (pts[..., 0] - pcr[0]) / expansion[0] * (W - 1)
         fz = (pts[..., 2] - pcr[2]) / expansion[2] * (D - 1)
         idx = jnp.asarray(np.stack([fy, fx, fz], -1), jnp.float32)
+        if self.query == "separable":
+            if self._occ3d_sep is None:
+                model = self.model
+
+                def sep_fn(v, vol, sxs, sys, szs, sidx):
+                    from ..ops.interp import trilinear_sample
+                    out = model.apply(v, vol, sxs, sys, szs,
+                                      method="occ_uniform")
+                    res = {"sdf_r": trilinear_sample(
+                        out["sdf"][..., None], sidx, "zeros")[..., 0]}
+                    if "logits" in out:
+                        res["sem_r"] = jnp.argmax(trilinear_sample(
+                            out["logits"], sidx, "zeros"), axis=-1)
+                    return res
+
+                self._occ3d_sep = jax.jit(sep_fn)
+            out = self._occ3d_sep(self.variables, volume, xs, ys, zs, idx)
+            return {k: np.asarray(jax.device_get(v))
+                    for k, v in out.items()}
+        flat, (H, W, D), _, _ = self._flat_grid(aabb, resolution)
         out = self._occ3d_jit((H, W, D))(self.variables, volume, flat, idx)
         return {k: np.asarray(jax.device_get(v)) for k, v in out.items()}
 

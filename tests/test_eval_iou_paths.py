@@ -208,3 +208,48 @@ def test_query_grid_keys_selects_fetch():
     assert {"sdf", "sem", "logits"} <= set(full)
     np.testing.assert_array_equal(sel["sdf"], full["sdf"])
     np.testing.assert_array_equal(sel["sem"], full["sem"])
+
+
+def test_separable_query_matches_gather():
+    """GridOccEvaluator(query="separable") must match the gather evaluator
+    to fp32 reassociation tolerance on both query_grid and the fused occ3d
+    path (same interpolant, factored rounding order)."""
+    import jax
+    from utils_tiny import TINY_PC_RANGE, make_cameras, tiny_config
+    from selfocc_tpu.models.segmentor import TPVSegmentor
+    from selfocc_tpu.utils.eval_lib import GridOccEvaluator
+
+    cfg = tiny_config(num_cams=2, sem=True)
+    model = TPVSegmentor(cfg=cfg.model)
+    rs = np.random.RandomState(11)
+    imgs = rs.rand(1, 2, *cfg.input_size, 3).astype(np.float32)
+    l2i = np.asarray(make_cameras(2, cfg.input_size)["lidar2img"],
+                     np.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs, l2i,
+                           method="prepare")
+    ev_g = GridOccEvaluator(model, variables, shard=False)
+    ev_s = GridOccEvaluator(model, variables, shard=False,
+                            query="separable")
+    volume = ev_g.prepare(imgs, l2i)
+
+    pcr = list(TINY_PC_RANGE)
+    expansion = [pcr[3] - pcr[0], pcr[4] - pcr[1], pcr[5] - pcr[2]]
+    reso = 1.6
+    g = ev_g.query_grid(volume, tuple(pcr), reso)
+    s = ev_s.query_grid(volume, tuple(pcr), reso)
+    assert s["sdf"].shape == g["sdf"].shape
+    np.testing.assert_allclose(s["sdf"], g["sdf"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s["logits"], g["logits"], rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_array_equal(s["xyz"], g["xyz"])
+
+    pts = np.stack([rs.uniform(pcr[k] - 2, pcr[k + 3] + 2, size=(9, 7, 4))
+                    for k in range(3)], -1).astype(np.float32)
+    fg = ev_g.query_grid_occ3d(volume, tuple(pcr), reso, pts, pcr,
+                               expansion)
+    fs = ev_s.query_grid_occ3d(volume, tuple(pcr), reso, pts, pcr,
+                               expansion)
+    np.testing.assert_allclose(fs["sdf_r"], fg["sdf_r"], rtol=1e-5,
+                               atol=1e-6)
+    # argmax can differ only on exact logit ties; none expected here
+    np.testing.assert_array_equal(fs["sem_r"], fg["sem_r"])

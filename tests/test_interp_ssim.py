@@ -160,3 +160,45 @@ def test_bundled_trilinear_matches_unbundled():
     bv, bg = trilinear_sample_cf_bundled_with_grad(bundle, (C, H, W, D), pts)
     np.testing.assert_allclose(np.asarray(bv), np.asarray(rv), atol=1e-5)
     np.testing.assert_allclose(np.asarray(bg), np.asarray(rg), atol=1e-4)
+
+
+def test_separable_resample_matches_trilinear_cf():
+    """Factored per-axis lerps == the 8-corner gather on a separable grid,
+    including out-of-range indices (zeros padding must factor per axis)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from selfocc_tpu.ops.interp import (separable_grid_resample_cf,
+                                        trilinear_sample_cf)
+
+    rng = np.random.RandomState(0)
+    C, H, W, D = 5, 9, 8, 6
+    vol = jnp.asarray(rng.randn(C, H, W, D).astype(np.float32))
+    # fractional indices straddling both borders
+    gh = jnp.asarray(rng.uniform(-1.5, H + 0.5, 11).astype(np.float32))
+    gw = jnp.asarray(rng.uniform(-1.5, W + 0.5, 7).astype(np.float32))
+    gd = jnp.asarray(rng.uniform(-1.5, D + 0.5, 4).astype(np.float32))
+
+    sep = separable_grid_resample_cf(vol, gh, gw, gd)     # (C, 11, 7, 4)
+
+    hwd = jnp.stack(jnp.meshgrid(gh, gw, gd, indexing="ij"), -1)
+    ref = trilinear_sample_cf(vol, hwd, "zeros")          # (11, 7, 4, C)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(sep), 0, -1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_separable_resample_exact_on_grid_points():
+    """Integer indices inside the volume reproduce the voxel values exactly
+    (no interpolation error), and fully out-of-range rows are exactly 0."""
+    import numpy as np
+    import jax.numpy as jnp
+    from selfocc_tpu.ops.interp import separable_grid_resample_cf
+
+    rng = np.random.RandomState(1)
+    vol = jnp.asarray(rng.randn(3, 5, 4, 6).astype(np.float32))
+    gh = jnp.asarray([0.0, 2.0, 4.0, -3.0], jnp.float32)
+    gw = jnp.asarray([1.0, 3.0], jnp.float32)
+    gd = jnp.asarray([0.0, 5.0], jnp.float32)
+    out = np.asarray(separable_grid_resample_cf(vol, gh, gw, gd))
+    np.testing.assert_array_equal(
+        out[:, :3], np.asarray(vol)[:, [0, 2, 4]][:, :, [1, 3]][..., [0, 5]])
+    np.testing.assert_array_equal(out[:, 3], 0.0)
