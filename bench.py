@@ -221,6 +221,14 @@ def bench_occ(args):
     out = ev.query_grid(vol, pcr, resolution, keys=("sdf", "sem"))
     openocc_query_s = time.time() - t0
 
+    # opt-in separable query (factored per-axis lerps, ~1 ulp deviation)
+    ev_sep = GridOccEvaluator(model, variables, shard=False,
+                              query="separable")
+    _ = ev_sep.query_grid_occ3d(vol, pcr, resolution, pts, pcr, expansion)
+    t0 = time.time()
+    _ = ev_sep.query_grid_occ3d(vol, pcr, resolution, pts, pcr, expansion)
+    occ3d_sep_query_s = time.time() - t0
+
     frame_s = prep_s + occ3d_query_s                # the headline: Occ3D
     val_frames = 6019
     n_pts = grid_shape[0] * grid_shape[1] * grid_shape[2]
@@ -232,6 +240,7 @@ def bench_occ(args):
         "grid": grid_shape,
         "prepare_s": round(prep_s, 2),
         "occ3d_query_s": round(occ3d_query_s, 2),
+        "occ3d_sep_query_s": round(occ3d_sep_query_s, 2),
         "openocc_query_s": round(openocc_query_s, 2),
         "points_per_sec_m": round(n_pts / occ3d_query_s / 1e6, 1),
         "est_val_6019_frames_1chip_h": round(val_frames * frame_s / 3600, 1),
@@ -439,6 +448,7 @@ def main():
             "occ_frame_s": occ["value"],
             "occ_prepare_s": occ["prepare_s"],
             "occ_occ3d_query_s": occ["occ3d_query_s"],
+            "occ_occ3d_sep_query_s": occ["occ3d_sep_query_s"],
             "occ_openocc_query_s": occ["openocc_query_s"],
             "occ_points_per_sec_m": occ["points_per_sec_m"],
         })

@@ -584,15 +584,24 @@ def nuscenes_occ_compact_train_bundle() -> Config:
 
 
 def nuscenes_novel_depth_bundle() -> Config:
-    """``nuscenes_novel_depth`` with 2x2 corner-bundled MSDA gathers — the
-    exact-semantics TPU recipe for the novel-view eval (VERDICT r4 #7):
-    the novel eval renders R views per decoded frame, so the dense per-head
-    prepare (measured 39 s on a v5e) dominates; bundling is the same pure
-    fp-reassociation lever as ``nuscenes_occ_compact_bundle``."""
+    """``nuscenes_novel_depth`` with visibility compaction + 2x2 corner-
+    bundled MSDA gathers — the exact-semantics TPU recipe for the novel-
+    view eval (VERDICT r4 #7): the novel eval renders R views per decoded
+    frame, so the per-head prepare (measured 39 s dense on a v5e)
+    dominates. Composes ``nuscenes_occ_compact_bundle``'s encoder levers
+    (both exact: compaction drops provably-zero attention pairs, bundling
+    is pure fp reassociation). NOTE the dense-per-head + full-bundle
+    composition is NOT used because it reproducibly faults the TPU worker
+    (3x, twice immediately after a verified-healthy run — same class of
+    compiler fault as bf16+bundling, docs/PERFORMANCE.md); dense callers
+    wanting bundling should use ``msda_bundle="pairs"`` (measured clean:
+    prepare 27.1 s vs 39 s unbundled)."""
     cfg = nuscenes_novel_depth()
     model = dataclasses.replace(
         cfg.model,
-        encoder=dataclasses.replace(cfg.model.encoder, msda_bundle="full"))
+        encoder=dataclasses.replace(cfg.model.encoder,
+                                    cross_visible_capacity=(0.3, 0.75, 0.7),
+                                    msda_bundle="full"))
     return dataclasses.replace(cfg, name="nuscenes_novel_depth_bundle",
                                model=model)
 
