@@ -346,7 +346,7 @@ class GridOccEvaluator:
             out = self._occ_sep(self.variables, volume, xs, ys, zs)
             if keys is not None:
                 out = {k: out[k] for k in keys if k in out}
-            res = {k: np.asarray(jax.device_get(v))
+            res = {k: np.asarray(jax.device_get(self._shrink(k, v)))
                    for k, v in out.items()}
             xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"),
                             axis=-1)[..., [1, 0, 2]]
@@ -356,10 +356,16 @@ class GridOccEvaluator:
         out = self._occ(self.variables, volume, flat)
         if keys is not None:
             out = {k: out[k] for k in keys if k in out}
-        res = {k: np.asarray(jax.device_get(v))[:n].reshape(
+        res = {k: np.asarray(jax.device_get(self._shrink(k, v)))[:n].reshape(
             (H, W, D) + tuple(v.shape[1:])) for k, v in out.items()}
         res["xyz"] = np.asarray(xyz)
         return res
+
+    @staticmethod
+    def _shrink(key, v):
+        """Fetch the dense argmax grid as uint8 (classes < 256 always) —
+        the int32 sem grid is 42 MB/frame through the axon tunnel."""
+        return v.astype(jnp.uint8) if key == "sem" else v
 
     def _occ3d_jit(self, grid_shape):
         """Fused forward_occ + Occ3D ego-grid resample, compiled per dense

@@ -72,14 +72,18 @@ timeout 3600 python tools/profile_prepare.py nuscenes_occ_fast \
   > "$OUT/profile_prepare_fast.json" 2> "$OUT/profile_prepare_fast.log"
 echo "$(date -u +%FT%TZ) prepare ablation (fast) rc=$?" >> "$OUT/status.log"
 
+# NOTE: back-to-back TPU processes OOM — the tunnel holds the previous
+# process' HBM for ~1-2 min after exit (round-5 lesson: both novel runs
+# OOM'd at 30 s settle). 120 s settle before every big job.
+sleep 120
 probe
-echo "$(date -u +%FT%TZ) eval_novel_depth latency (warm then 3-sample)" >> "$OUT/status.log"
-timeout 3600 python eval_novel_depth.py --py-config nuscenes_novel_depth \
-  --synthetic --num-samples 1 > "$OUT/novel1.log" 2>&1
-T1=$(date +%s)
-timeout 3600 python eval_novel_depth.py --py-config nuscenes_novel_depth \
-  --synthetic --num-samples 3 > "$OUT/novel3.log" 2>&1
-T3=$(date +%s)
-echo "$(date -u +%FT%TZ) novel-depth 3-sample wall $((T3 - T1))s (warm cache)" >> "$OUT/status.log"
+echo "$(date -u +%FT%TZ) eval_novel_depth per-stage latency (bundle recipe)" >> "$OUT/status.log"
+timeout 3600 python tools/probe_novel_bundle.py nuscenes_novel_depth_bundle \
+  > "$OUT/novel_bundle.json" 2> "$OUT/novel_bundle.log"
+echo "$(date -u +%FT%TZ) novel-depth bundle rc=$?" >> "$OUT/status.log"
+sleep 120
+probe
+timeout 3600 python bench.py --occ > "$OUT/bench_occ.json" 2> "$OUT/bench_occ.log"
+echo "$(date -u +%FT%TZ) bench --occ rc=$?" >> "$OUT/status.log"
 
 echo "$(date -u +%FT%TZ) battery r5 DONE" >> "$OUT/status.log"
