@@ -110,3 +110,57 @@ def test_round_trip(args):
     meter = m.grid2meter(jnp.asarray(grid))
     back = np.asarray(m.meter2grid(meter))
     np.testing.assert_allclose(back, grid, atol=2e-3)
+
+
+@pytest.mark.parametrize("mode,kwargs", [
+    ("linear", dict(h_size=[8, 4], h_range=[10.0, 6.0], h_half=False,
+                    w_size=[8, 4], w_range=[10.0, 6.0], w_half=False,
+                    d_size=[6, 3], d_range=[-1.0, 3.0, 6.0])),
+    ("linear", dict(h_size=[128, 0], h_range=[40.0, 0], h_half=False,
+                    w_size=[128, 0], w_range=[40.0, 0], w_half=False,
+                    d_size=[24, 0], d_range=[-1.0, 5.4, 5.4])),
+    ("linear_upscale", dict(h_size=[8, 4], h_range=[10.0, 10.0],
+                            w_size=[8, 4], w_range=[10.0, 10.0],
+                            d_size=[6, 3], d_range=[-1.0, 3.0, 7.0])),
+])
+def test_meter2grid_axis_separable(mode, kwargs):
+    """The separable uniform-grid query (``TPVSDFField.query_geo_uniform``)
+    assumes meter2grid maps axes independently (h<-y only, w<-x only,
+    d<-z only) for EVERY mapping mode — pin it: per-axis indices extracted
+    with the other two coordinates zeroed must equal the full-grid mapping,
+    and the factored resample must match the 8-corner gather."""
+    import jax.numpy as jnp
+    from selfocc_tpu.geometry.mappings import make_mapping
+    from selfocc_tpu.ops.interp import (separable_grid_resample_cf,
+                                        trilinear_sample_cf)
+
+    m = make_mapping(nonlinear_mode=mode, **kwargs)
+    rng = np.random.RandomState(3)
+    xs = jnp.asarray(rng.uniform(-22, 22, 7).astype(np.float32))
+    ys = jnp.asarray(rng.uniform(-22, 22, 6).astype(np.float32))
+    zs = jnp.asarray(rng.uniform(-3, 9, 5).astype(np.float32))
+
+    xyz = jnp.stack(jnp.meshgrid(ys, xs, zs, indexing="ij"),
+                    axis=-1)[..., [1, 0, 2]]
+    full = np.asarray(m.meter2grid(xyz))                 # (6, 7, 5, 3)
+
+    z = jnp.zeros_like
+    gh = m.meter2grid(jnp.stack([z(ys), ys, z(ys)], -1))[..., 0]
+    gw = m.meter2grid(jnp.stack([xs, z(xs), z(xs)], -1))[..., 1]
+    gd = m.meter2grid(jnp.stack([z(zs), z(zs), zs], -1))[..., 2]
+    np.testing.assert_allclose(full[..., 0],
+                               np.broadcast_to(np.asarray(gh)[:, None, None],
+                                               full.shape[:-1]), rtol=1e-6)
+    np.testing.assert_allclose(full[..., 1],
+                               np.broadcast_to(np.asarray(gw)[None, :, None],
+                                               full.shape[:-1]), rtol=1e-6)
+    np.testing.assert_allclose(full[..., 2],
+                               np.broadcast_to(np.asarray(gd)[None, None, :],
+                                               full.shape[:-1]), rtol=1e-6)
+
+    vol = jnp.asarray(rng.randn(4, m.size_h, m.size_w,
+                                m.size_d).astype(np.float32))
+    sep = separable_grid_resample_cf(vol, gh, gw, gd)
+    ref = trilinear_sample_cf(vol, jnp.asarray(full), "zeros")
+    np.testing.assert_allclose(np.moveaxis(np.asarray(sep), 0, -1),
+                               np.asarray(ref), rtol=1e-5, atol=1e-6)
