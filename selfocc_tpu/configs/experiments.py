@@ -395,6 +395,19 @@ def tiny() -> Config:
         warmup_iters=5, eval_num_rays=(8, 12))
 
 
+def tiny_fast() -> Config:
+    """Tiny config with the fast-tier encoder levers (head-shared MSDA
+    locations + full corner bundle + visibility compaction) — a CPU-sized
+    drive of exactly the ``nuscenes_occ_fast_bundle`` encoder code path."""
+    cfg = tiny()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(
+            cfg.model.encoder, shared_locations=True, msda_bundle="full",
+            cross_visible_capacity=(0.9, 0.9, 0.9)))
+    return dataclasses.replace(cfg, name="tiny_fast", model=model)
+
+
 def _to_nerfacc(cfg: Config, name: str) -> Config:
     """Swap a NeuS config's head for the density NeRFAccHead (reference
     ``model/head/nerfacc_head/nerfacc_head.py:21-475``; no shipped reference
@@ -569,6 +582,22 @@ def nuscenes_occ_fast() -> Config:
     return dataclasses.replace(cfg, name="nuscenes_occ_fast", model=model)
 
 
+def nuscenes_occ_fast_bundle() -> Config:
+    """``nuscenes_occ_fast`` + 2x2 corner-bundled SHARED-location MSDA
+    gathers (round 5, ``ops/msda.py::_msda_dense_shared``): 4x fewer gather
+    rows on top of the 6x from head sharing. Bundled shared payloads stay
+    fp32 (bf16+bundling faults the TPU worker), so this recipe is both
+    faster AND numerically closer to per-head fp32 than plain ``_fast``
+    (golden: tests/test_msda.py::test_msda_shared_bundled_matches_dense_
+    fp32)."""
+    cfg = nuscenes_occ_fast()
+    model = dataclasses.replace(
+        cfg.model,
+        encoder=dataclasses.replace(cfg.model.encoder, msda_bundle="full"))
+    return dataclasses.replace(cfg, name="nuscenes_occ_fast_bundle",
+                               model=model)
+
+
 def nuscenes_occ_compact_train_bundle() -> Config:
     """``nuscenes_occ_compact_train`` + corner-bundled MSDA gathers: the
     reference-exact TRAIN recipe with the round-4 bundling lever applied to
@@ -631,6 +660,7 @@ def kitti_occ_bundle() -> Config:
 
 _CONFIGS = {
     "tiny": tiny,
+    "tiny_fast": tiny_fast,
     "nuscenes_occ": nuscenes_occ,
     "nuscenes_depth": nuscenes_depth,
     "nuscenes_novel_depth": nuscenes_novel_depth,
@@ -642,6 +672,7 @@ _CONFIGS = {
     "kitti_raw_depth": kitti_raw_depth,
     "nuscenes_occ_bev": nuscenes_occ_bev,
     "nuscenes_occ_fast": nuscenes_occ_fast,
+    "nuscenes_occ_fast_bundle": nuscenes_occ_fast_bundle,
     "tiny_nerfacc": tiny_nerfacc,
     "tiny_bev": tiny_bev,
     "nuscenes_occ_density": nuscenes_occ_density,

@@ -273,14 +273,27 @@ def _msda_dense(value_levels, sampling_locations, attention_weights,
 
 
 def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
-                       spatial_shapes):
+                       spatial_shapes, bundle_corners="none"):
     """Fast path for head-shared sampling locations: ONE gather per
     (b, q, p) point with the full H*D payload (6x fewer gather rows than the
     per-head path — XLA TPU gathers are row-rate-bound). Gathered payloads and
     transients run in bf16 (this is the explicit AMP-style speed mode); the
-    attention reduction accumulates fp32."""
+    attention reduction accumulates fp32.
+
+    ``bundle_corners`` composes the 2x2 corner bundle on top ("full": one
+    4*H*D-channel row per point, 4x fewer rows again; "pairs": two
+    2*H*D-channel rows). Bundled payloads stay FP32 — bf16 payloads composed
+    with bundling reproducibly fault the TPU worker (docs/PERFORMANCE.md),
+    and bundled rows are row-rate-bound / payload-insensitive anyway, so the
+    bundled shared path is both faster AND closer to the per-head fp32 math
+    than the unbundled bf16 one."""
+    if bundle_corners is True:
+        bundle_corners = "full"
+    elif not bundle_corners:
+        bundle_corners = "none"
     B, Q, H, Lv, P, _ = sampling_locations.shape
     D = value_levels[0].shape[-1]
+    C = H * D
 
     # every transient is (B, H*D, Q) — big Q axis trailing, zero tile padding
     out = jnp.zeros((B, H * D, Q), dtype=jnp.float32)
@@ -288,24 +301,56 @@ def _msda_dense_shared(value_levels, sampling_locations, attention_weights,
         # (B, H*D, h*w): all heads' channels as one payload
         v = value_levels[lvl].reshape(B, H, h * w, D)
         v = jnp.moveaxis(v, 2, 3).reshape(B, H * D, h * w)
-        v = v.astype(jnp.bfloat16)
+        if bundle_corners == "full":
+            v = _bundle_corners_2d(v, h, w)               # (B, 4C, h*w) fp32
+        elif bundle_corners == "pairs":
+            v = _bundle_pairs_x(v, h, w)                  # (B, 2C, h*w) fp32
+        else:
+            v = v.astype(jnp.bfloat16)
         attn_l = attention_weights[:, :, :, lvl]          # B,Q,H,P
 
         def point_term(v_, loc, attn_p):
             # per-head attention for this point, channel-expanded (B, H*D, Q)
-            # bf16: this broadcast is the biggest backward temp (145 MB f32
-            # each on the flagship) and the fast path is explicitly lossy
+            # bf16 in the unbundled mode: this broadcast is the biggest
+            # backward temp (145 MB f32 each on the flagship) and the fast
+            # path is explicitly lossy
             w_p = jnp.repeat(jnp.moveaxis(attn_p, 1, 2), D, axis=1)
-            w_p = w_p.astype(jnp.bfloat16)
             x = loc[..., 0] * w - 0.5
             y = loc[..., 1] * h - 0.5
             x0 = jnp.floor(x)
             y0 = jnp.floor(y)
-            wx, wy = x - x0, y - y0
+            fx, fy = x - x0, y - y0
             x0i, y0i = x0.astype(jnp.int32), y0.astype(jnp.int32)
+            if bundle_corners == "full":
+                bx = jnp.clip(x0i, 0, max(w - 2, 0))
+                by = jnp.clip(y0i, 0, max(h - 2, 0))
+                wx0, wx1 = _axis_block_weights(bx, x0i, fx)
+                wy0, wy1 = _axis_block_weights(by, y0i, fy)
+                lin = by * w + bx
+                g = jax.vmap(lambda vf, i: jnp.take(vf, i, axis=1))(
+                    v_, lin)                               # (B, 4C, Q)
+                acc = (wy0 * wx0)[:, None, :] * g[:, 0:C] \
+                    + (wy0 * wx1)[:, None, :] * g[:, C:2 * C] \
+                    + (wy1 * wx0)[:, None, :] * g[:, 2 * C:3 * C] \
+                    + (wy1 * wx1)[:, None, :] * g[:, 3 * C:4 * C]
+                return acc * w_p
+            if bundle_corners == "pairs":
+                bx = jnp.clip(x0i, 0, max(w - 2, 0))
+                wx0, wx1 = _axis_block_weights(bx, x0i, fx)
+                acc = None
+                for yi, wyi in ((y0i, 1.0 - fy), (y0i + 1, fy)):
+                    valid_y = (yi >= 0) & (yi <= h - 1)
+                    lin = jnp.clip(yi, 0, h - 1) * w + bx
+                    g = jax.vmap(lambda vf, i: jnp.take(vf, i, axis=1))(
+                        v_, lin)                           # (B, 2C, Q)
+                    term = (wyi * valid_y * wx0)[:, None, :] * g[:, 0:C] \
+                        + (wyi * valid_y * wx1)[:, None, :] * g[:, C:2 * C]
+                    acc = term if acc is None else acc + term
+                return acc * w_p
+            w_p = w_p.astype(jnp.bfloat16)
             acc = None
-            for yi, wyi in ((y0i, 1 - wy), (y0i + 1, wy)):
-                for xi, wxi in ((x0i, 1 - wx), (x0i + 1, wx)):
+            for yi, wyi in ((y0i, 1 - fy), (y0i + 1, fy)):
+                for xi, wxi in ((x0i, 1 - fx), (x0i + 1, fx)):
                     valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) &
                              (yi <= h - 1))
                     lin = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
@@ -388,7 +433,8 @@ def ms_deform_attn(value, spatial_shapes, sampling_locations, attention_weights,
 
     if shared_locations:
         out = _msda_dense_shared(value_levels, sampling_locations,
-                                 attention_weights, spatial_shapes)
+                                 attention_weights, spatial_shapes,
+                                 bundle_corners=bundle_corners)
         return out.reshape(B, Q, H * D)
 
     if query_chunk <= 0 or query_chunk >= Q:

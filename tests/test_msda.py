@@ -162,3 +162,34 @@ def test_msda_query_unroll_matches_torch():
             bundle_corners=mode, query_unroll=3).sum())(jnp.asarray(value))
         np.testing.assert_allclose(np.asarray(g_qu), np.asarray(g_ref),
                                    atol=2e-5, rtol=2e-5, err_msg=mode)
+
+
+def test_msda_shared_bundled_matches_dense_fp32():
+    """Shared-locations + corner bundling (full and pairs): the bundled
+    shared path keeps FP32 payloads (bf16+bundling faults the TPU worker,
+    docs/PERFORMANCE.md), so unlike the bf16 unbundled shared path it must
+    match the per-head fp32 computation to reassociation tolerance —
+    forward AND value-gradient."""
+    import jax
+
+    value, loc, att, shapes = _random_case(9, q=29, heads=4, d=4, p=3)
+    loc_shared = np.broadcast_to(loc[:, :, :1], loc.shape).copy()
+    ref = np.asarray(ms_deform_attn(
+        jnp.asarray(value), shapes, jnp.asarray(loc_shared),
+        jnp.asarray(att)))
+
+    for mode in ("full", "pairs"):
+        fast = np.asarray(ms_deform_attn(
+            jnp.asarray(value), shapes, jnp.asarray(loc_shared),
+            jnp.asarray(att), shared_locations=True, bundle_corners=mode))
+        np.testing.assert_allclose(fast, ref, atol=1e-5, rtol=1e-5)
+
+    def loss(v, bundle, shared):
+        return jnp.sum(ms_deform_attn(
+            v, shapes, jnp.asarray(loc_shared), jnp.asarray(att),
+            shared_locations=shared, bundle_corners=bundle) ** 2)
+
+    g_ref = np.asarray(jax.grad(loss)(jnp.asarray(value), "none", False))
+    for mode in ("full", "pairs"):
+        g = np.asarray(jax.grad(loss)(jnp.asarray(value), mode, True))
+        np.testing.assert_allclose(g, g_ref, atol=1e-4, rtol=1e-4)
