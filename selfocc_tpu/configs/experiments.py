@@ -560,11 +560,11 @@ def nuscenes_occ_fast() -> Config:
     # (eval prepare measured neutral, 8.3 vs 7.8 s): it shrinks the encoder
     # backward's (6, 96, 66049) transients 3.3x on the hw plane, which is
     # what brings the TRAIN step from 18.3 GB (OOM on a 16 GB v5e) down to
-    # fitting — ~10 s/step DEVICE time steady on one v5e chip (the first
-    # 29.8 s/step wall measurement included 5-28 s/step synchronous host
-    # batch assembly, since overlapped away by --prefetch; see
-    # docs/PERFORMANCE.md training table). 2048-ray remat chunks bound the
-    # render-backward transients for the same reason.
+    # fitting — 28.2 s/step steady on one v5e chip (round-5 measurement,
+    # --print-freq 4 pipelined; 35.8 s/step if every step forces a metrics
+    # fetch; see docs/PERFORMANCE.md training table — the old "~10 s/step
+    # device time" estimate is retracted there). 2048-ray remat chunks
+    # bound the render-backward transients for the same reason.
     # Eval-time empty-space skipping (eval_skip_coarse/fine, VERDICT r4 #5)
     # was wired here in round 5 and UNWIRED the same round after on-device
     # measurement (tools/skip_delta.py, v5e): 64+64 skip rendered the 2.16M
