@@ -28,8 +28,8 @@ Prints ONE JSON line:
 
 The default run also measures the FULL per-frame eval latency (prepare:
 backbone -> encoder -> field decode, plus the 2.16M-ray depth render) through
-the real model for BOTH the TPU-fast recipe (``nuscenes_occ_fast``, merged as
-``frame_*``) and the reference-exact-semantics recipe
+the real model for BOTH the TPU-fast recipe (``nuscenes_occ_fast_bundle``,
+merged as ``frame_*``) and the reference-exact-semantics recipe
 (``nuscenes_occ_compact_bundle`` — per-head math exactly reassociated into
 one corner-bundled gather row per point, the fastest exact recipe measured;
 VERDICT r2 #9 / r3 #3), merged as ``frame_exact_*``. ``--frame [CONFIG]``
@@ -402,8 +402,11 @@ def main():
         # volume over the flagship prepare peak OOMs a 16 GB v5e)
         del variables, volume, origin, direction, out, render
         del lowered, compiled
+        # fast tier: shared-locations MSDA + the 2x2 corner bundle on top
+        # (round 5: prepare 2.42 -> 2.13 s, golden-equal to _fast to fp32
+        # reassociation; docs/PERFORMANCE.md)
         fargs = argparse.Namespace(**{**vars(args),
-                                      "frame": "nuscenes_occ_fast"})
+                                      "frame": "nuscenes_occ_fast_bundle"})
         frame = bench_frame(fargs)
         record.update({
             "frame_config": frame["config"],
