@@ -635,6 +635,24 @@ def nuscenes_novel_depth_bundle() -> Config:
                                model=model)
 
 
+def nuscenes_novel_depth_fast_bundle() -> Config:
+    """Fast-TIER novel-view eval recipe (deviates like ``nuscenes_occ_fast``):
+    ``nuscenes_novel_depth_bundle`` with head-shared deformable sampling
+    locations + bf16 backbone/neck compute on top of compaction + the 2x2
+    corner bundle. The novel eval is prepare + R renders per frame; the
+    shared-location bundled encoder cuts the prepare 8.8 -> 2.34 s, so the
+    4-view frame drops 29.2 -> 22.78 s and is render-bound (5.12 s/view at
+    the gather-issue ceiling; measured `.tpu_runs/novel_fast_bundle.json`,
+    docs/PERFORMANCE.md)."""
+    cfg = nuscenes_novel_depth_bundle()
+    model = dataclasses.replace(
+        cfg.model,
+        compute_dtype="bfloat16",
+        encoder=dataclasses.replace(cfg.model.encoder, shared_locations=True))
+    return dataclasses.replace(cfg, name="nuscenes_novel_depth_fast_bundle",
+                               model=model)
+
+
 def kitti_novel_depth_bundle() -> Config:
     """``kitti_novel_depth`` with 2x2 corner-bundled MSDA gathers (see
     ``nuscenes_novel_depth_bundle``; mono rig, no compaction to compose)."""
@@ -643,6 +661,21 @@ def kitti_novel_depth_bundle() -> Config:
         cfg.model,
         encoder=dataclasses.replace(cfg.model.encoder, msda_bundle="full"))
     return dataclasses.replace(cfg, name="kitti_novel_depth_bundle",
+                               model=model)
+
+
+def kitti_novel_depth_fast_bundle() -> Config:
+    """Fast-TIER KITTI novel-view recipe: ``kitti_novel_depth_bundle`` +
+    head-shared sampling locations + bf16 backbone/neck compute (see
+    ``nuscenes_novel_depth_fast_bundle``; mono rig, no compaction).
+    Measured (v5e, `.tpu_runs/kitti_novel_fast_bundle.json`): prepare
+    0.68 s + 0.29 s/view -> 1.84 s per 4-view frame (exact bundle: 5.5)."""
+    cfg = kitti_novel_depth_bundle()
+    model = dataclasses.replace(
+        cfg.model,
+        compute_dtype="bfloat16",
+        encoder=dataclasses.replace(cfg.model.encoder, shared_locations=True))
+    return dataclasses.replace(cfg, name="kitti_novel_depth_fast_bundle",
                                model=model)
 
 
@@ -665,10 +698,12 @@ _CONFIGS = {
     "nuscenes_depth": nuscenes_depth,
     "nuscenes_novel_depth": nuscenes_novel_depth,
     "nuscenes_novel_depth_bundle": nuscenes_novel_depth_bundle,
+    "nuscenes_novel_depth_fast_bundle": nuscenes_novel_depth_fast_bundle,
     "kitti_occ": kitti_occ,
     "kitti_occ_bundle": kitti_occ_bundle,
     "kitti_novel_depth": kitti_novel_depth,
     "kitti_novel_depth_bundle": kitti_novel_depth_bundle,
+    "kitti_novel_depth_fast_bundle": kitti_novel_depth_fast_bundle,
     "kitti_raw_depth": kitti_raw_depth,
     "nuscenes_occ_bev": nuscenes_occ_bev,
     "nuscenes_occ_fast": nuscenes_occ_fast,

@@ -83,6 +83,11 @@ timeout 3600 python tools/probe_novel_bundle.py nuscenes_novel_depth_bundle \
 echo "$(date -u +%FT%TZ) novel-depth bundle rc=$?" >> "$OUT/status.log"
 sleep 120
 probe
+timeout 3600 python tools/probe_novel_bundle.py nuscenes_novel_depth_fast_bundle \
+  > "$OUT/novel_fast_bundle.json" 2> "$OUT/novel_fast_bundle.log"
+echo "$(date -u +%FT%TZ) novel-depth fast_bundle rc=$?" >> "$OUT/status.log"
+sleep 120
+probe
 timeout 3600 python bench.py --occ > "$OUT/bench_occ.json" 2> "$OUT/bench_occ.log"
 echo "$(date -u +%FT%TZ) bench --occ rc=$?" >> "$OUT/status.log"
 
